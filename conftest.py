@@ -1,0 +1,14 @@
+"""Test harness config: run every test on a virtual 8-device CPU mesh.
+
+Multi-chip sharding paths are validated with
+`--xla_force_host_platform_device_count=8` fake devices (real multi-chip TPU
+hardware is exercised separately by the driver's dryrun and bench).
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ.setdefault("JAX_ENABLE_X64", "0")

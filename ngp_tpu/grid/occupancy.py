@@ -1,0 +1,219 @@
+"""Cascaded occupancy / density grid — fixed-shape jnp state + update ops.
+
+TPU-native rebuild of the grid half of reference
+internal/sampler/occupancy_sampler.{h,cu}:
+
+  state (occupancy_sampler.h:124-130):
+    density_grid   (n_cascades * G^3,) fp32 — EMA-max smoothed density;
+                   -1 marks cells no training camera ever sees
+    mean_density   scalar — mean of relu(cascade-0 densities)
+    occupancy      (n_cascades, G, G, G) bool — ("bitfield") density above
+                   min(min_optical_thickness, mean), max-pooled up cascades
+
+  ops (kernels at occupancy_sampler.cu):
+    mark_untrained_grid        <- mark_untrained_density_grid (cu:18)
+    sample_grid_positions      <- generate_grid_samples_nerf_nonuniform (cu:63)
+    splat_density / ema_update <- splat_..._max_nearest_neighbor (cu:107) +
+                                  ema_grid_samples_nerf (cu:134)
+    update_occupancy           <- grid_to_bitfield (cu:160) +
+                                  bitfield_max_pool (cu:182)
+
+TPU design notes: the grid is addressed LINEARLY (x + G*y + G^2*z) — Morton
+order exists in the reference for GPU warp locality, which has no TPU
+counterpart. CUDA atomicMax splats become `jnp .at[].max` scatters
+(deterministic by construction); the bitfield is stored as a bool array
+(4 MB, a bit-packing round trip would cost VPU unpacking for no win).
+"""
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ngp_tpu.utils.config import SamplerConfig
+
+
+class GridState(NamedTuple):
+    density: jnp.ndarray  # (n_cascades * G^3,) fp32
+    occupancy: jnp.ndarray  # (n_cascades, G, G, G) bool
+    mean_density: jnp.ndarray  # () fp32
+    step: jnp.ndarray  # () int32 — grid-update counter (i_step)
+
+
+def create_grid_state(cfg: SamplerConfig) -> GridState:
+    g = cfg.grid_size
+    return GridState(
+        density=jnp.zeros((cfg.n_total_elements,), jnp.float32),
+        occupancy=jnp.zeros((cfg.n_cascades, g, g, g), bool),
+        mean_density=jnp.zeros((), jnp.float32),
+        step=jnp.zeros((), jnp.int32),
+    )
+
+
+def cell_centers(cfg: SamplerConfig, cascade: int):
+    """World-space centers of all cells of one cascade, (G^3, 3), linear order.
+
+    Cascade c covers the cube of side 2^c centered at 0.5 (cu:37-38).
+    """
+    g = cfg.grid_size
+    ax = (jnp.arange(g, dtype=jnp.float32) + 0.5) / g - 0.5
+    # linear index = x + G*y + G^2*z => z slowest, x fastest
+    z, y, x = jnp.meshgrid(ax, ax, ax, indexing="ij")
+    pos = jnp.stack([x.reshape(-1), y.reshape(-1), z.reshape(-1)], axis=-1)
+    return pos * float(1 << cascade) + 0.5
+
+
+def mark_untrained_grid(cfg: SamplerConfig, resolution, focal_length, xforms) -> jnp.ndarray:
+    """Initial density grid: 0 where any camera sees the cell, else -1.
+
+    Vectorized rebuild of mark_untrained_density_grid (cu:18-61): a cell
+    (center p, radius r) is visible from camera j if z = (p - t_j)·fwd_j > 0
+    and |x|-r < z * w/(2 fx), |y|-r < z * h/(2 fy).
+    """
+    res = np.asarray(resolution, np.float32)
+    fx, fy = float(focal_length[0]), float(focal_length[1])
+    half_resx, half_resy = 0.5 * res[0], 0.5 * res[1]
+    xforms = jnp.asarray(xforms, jnp.float32)  # (n_images, 3, 4)
+
+    grids = []
+    for c in range(cfg.n_cascades):
+        pos = cell_centers(cfg, c)  # (G^3, 3)
+        voxel_radius = 0.5 * np.sqrt(3.0) * (1 << c) / cfg.grid_size
+        ploc = pos[:, None, :] - xforms[None, :, :, 3]  # (G^3, n_images, 3)
+        cam_x = jnp.einsum("pnc,nc->pn", ploc, xforms[:, :, 0])
+        cam_y = jnp.einsum("pnc,nc->pn", ploc, xforms[:, :, 1])
+        cam_z = jnp.einsum("pnc,nc->pn", ploc, xforms[:, :, 2])
+        visible = (
+            (cam_z > 0)
+            & (jnp.abs(cam_x) - voxel_radius < cam_z / fx * half_resx)
+            & (jnp.abs(cam_y) - voxel_radius < cam_z / fy * half_resy)
+        )
+        grids.append(jnp.where(jnp.any(visible, axis=1), 0.0, -1.0))
+    return jnp.concatenate(grids)
+
+
+def sample_grid_positions(cfg: SamplerConfig, density, key, n_uniform: int, n_nonuniform: int, step):
+    """Pick grid cells + a random position inside each; (N,3) world pos, (N,) idx.
+
+    Rebuild of generate_grid_samples_nerf_nonuniform (cu:63-105): each sample
+    draws a random cascade, then takes up to 10 pseudo-random candidate cells
+    (LCG-style stride over the level) and keeps the first whose stored density
+    exceeds a threshold (-0.01 for the uniform pass — any trained cell — or
+    min_optical_thickness for the density-weighted pass).
+    """
+    g = cfg.grid_size
+    n_total = n_uniform + n_nonuniform
+    k_level, k_pos = jax.random.split(key)
+
+    i = jnp.arange(n_total, dtype=jnp.uint32)
+    levels = jax.random.randint(k_level, (n_total,), 0, cfg.n_cascades, jnp.int32)
+
+    # candidate cells: the reference's multiplicative stride sequence (cu:87)
+    j = jnp.arange(10, dtype=jnp.uint32)
+    cand = ((i + jnp.uint32(step) * jnp.uint32(n_total))[:, None] * jnp.uint32(56924617) + j[None, :] * jnp.uint32(19349663) + jnp.uint32(96925573)) % jnp.uint32(cfg.n_grid_elements)
+    cand = cand.astype(jnp.int32) + levels[:, None] * cfg.n_grid_elements  # (N, 10)
+
+    thresh = jnp.where(jnp.arange(n_total) < n_uniform, -0.01, cfg.min_optical_thickness)
+    vals = density[cand]  # (N, 10)
+    ok = vals > thresh[:, None]
+    # first passing candidate, else the last one (reference keeps the final j)
+    first = jnp.argmax(ok, axis=1)
+    pick = jnp.where(jnp.any(ok, axis=1), first, 9)
+    idx = jnp.take_along_axis(cand, pick[:, None], axis=1)[:, 0]
+
+    # random position within the chosen cell (cu:95-101), linear addressing
+    local = idx % cfg.n_grid_elements
+    x = local % g
+    y = (local // g) % g
+    z = local // (g * g)
+    cell = jnp.stack([x, y, z], axis=-1).astype(jnp.float32)
+    u = jax.random.uniform(k_pos, (n_total, 3))
+    mip_scale = jnp.exp2(levels.astype(jnp.float32))[:, None]
+    pos = ((cell + u) / g - 0.5) * mip_scale + 0.5
+    return pos, idx
+
+
+def splat_density_ema(cfg: SamplerConfig, state: GridState, indices, densities) -> GridState:
+    """Scatter-max the sampled densities, then EMA-max decay the grid.
+
+    splat_grid_samples_nerf_max_nearest_neighbor (cu:107-132): splat value is
+    density * min_cone_stepsize (optical thickness of the smallest step).
+    ema_grid_samples_nerf (cu:134-158): new = prev<0 ? prev
+                                             : max(prev * decay, splat).
+    """
+    optical = densities * cfg.min_cone_stepsize
+    current = jnp.zeros_like(state.density).at[indices].max(optical)
+    prev = state.density
+    new = jnp.where(prev < 0.0, prev, jnp.maximum(prev * cfg.ema_decay, current))
+    return state._replace(density=new, step=state.step + 1)
+
+
+def update_occupancy(cfg: SamplerConfig, state: GridState) -> GridState:
+    """Threshold the grid into occupancy and max-pool up the cascades.
+
+    update_grid_bitfield (cu:737-760): mean = mean(relu(cascade-0)); occupied
+    = density > min(min_optical_thickness, mean); each coarser cascade OR-s in
+    the 2x-downsampled finer cascade, placed in its central octant.
+    """
+    g = cfg.grid_size
+    mean = jnp.mean(jnp.maximum(state.density[: cfg.n_grid_elements], 0.0))
+    thresh = jnp.minimum(cfg.min_optical_thickness, mean)
+    occ_flat = state.density > thresh  # (n_cascades * G^3,)
+    # linear index x + G*y + G^2*z -> reshape (z, y, x) then transpose to xyz
+    occ = occ_flat.reshape(cfg.n_cascades, g, g, g).transpose(0, 3, 2, 1)  # (c, x, y, z)
+
+    levels = [occ[0]]
+    for c in range(1, cfg.n_cascades):
+        fine = levels[-1]
+        # 2x max-pool
+        pooled = fine.reshape(g // 2, 2, g // 2, 2, g // 2, 2).any(axis=(1, 3, 5))
+        # place in central octant [G/4, 3G/4) of this cascade (cu:200-204)
+        q = g // 4
+        merged = occ[c].at[q : 3 * q, q : 3 * q, q : 3 * q].set(occ[c][q : 3 * q, q : 3 * q, q : 3 * q] | pooled)
+        levels.append(merged)
+    return state._replace(occupancy=jnp.stack(levels), mean_density=mean)
+
+
+def occupancy_lookup(cfg: SamplerConfig, occupancy, pos, mip):
+    """Occupancy at world positions for given mips; pos (..., 3), mip (...,).
+
+    Rebuild of density_grid_occupied_at / cascaded_grid_idx_at (cu:236-260):
+    scale into the mip's cube, floor to cell coords, clamp to [0, G-1].
+    """
+    g = cfg.grid_size
+    mip_scale = jnp.exp2(-mip.astype(jnp.float32))[..., None]
+    p = (pos - 0.5) * mip_scale + 0.5
+    cell = jnp.clip(jnp.floor(p * g).astype(jnp.int32), 0, g - 1)
+    return occupancy[mip, cell[..., 0], cell[..., 1], cell[..., 2]]
+
+
+def mip_from_pos(pos, n_cascades: int):
+    """Smallest cascade whose cube contains pos (cu:216-221).
+
+    frexp semantics: exponent e of maxval = |pos-0.5|_inf, i.e. the unique e
+    with maxval in [2^(e-1), 2^e); mip = clamp(e+1, 0, n_cascades-1).
+    """
+    maxval = jnp.max(jnp.abs(pos - 0.5), axis=-1)
+    # frexpf exponent: ceil(log2(maxval)) with exact powers of two mapping to
+    # themselves+1... frexp(m)=e such that m = f*2^e, f in [0.5,1).
+    safe = jnp.maximum(maxval, 1e-30)
+    e = jnp.floor(jnp.log2(safe)) + 1.0
+    # guard against log2 rounding at exact powers of two: frexp(0.5) -> e=0
+    e = jnp.where(jnp.exp2(e - 1.0) > safe, e - 1.0, e)
+    e = jnp.where(jnp.exp2(e) <= safe, e + 1.0, e)
+    mip = jnp.clip(e.astype(jnp.int32) + 1, 0, n_cascades - 1)
+    # frexp(0) has exponent 0 -> reference yields mip min(1, n_cascades-1)
+    return jnp.where(maxval == 0.0, jnp.minimum(1, n_cascades - 1), mip)
+
+
+def mip_from_dt(dt, pos, grid_size: int, n_cascades: int):
+    """Cascade from position, bumped up if dt spans more than half a cell (cu:223-230)."""
+    mip = mip_from_pos(pos, n_cascades)
+    d = dt * 2.0 * grid_size
+    safe = jnp.maximum(d, 1e-30)
+    e = jnp.floor(jnp.log2(safe)) + 1.0
+    e = jnp.where(jnp.exp2(e - 1.0) > safe, e - 1.0, e)
+    e = jnp.where(jnp.exp2(e) <= safe, e + 1.0, e)
+    dt_mip = jnp.clip(e.astype(jnp.int32), 0, n_cascades - 1)
+    return jnp.where(d < 1.0, mip, jnp.maximum(mip, dt_mip))

@@ -1,0 +1,124 @@
+"""The NGP NeRF model: hash encode -> density MLP -> [+SH] -> RGB MLP.
+
+TPU-native rebuild of reference internal/network/ngp_network.h (class
+NGPNetwork). Architecture parity (ngp_network.h:149-199):
+
+  density head: pos(3) -[HashGrid]-> 32 -[MLP 64w, 1 hidden]-> 16
+                (first channel of the 16 is raw log-density)
+  color head:   concat(density_out 16, SH(dir) 16) = 32
+                -[MLP 64w, 2 hidden]-> 3 raw rgb
+
+Raw outputs are mapped through transfer functions *outside* the network
+(reference applies them in the ray marcher; defaults testbed.h:114-115:
+density=Exponential, rgb=Logistic; transfer fns common_device.h:292-342).
+
+Params live in a flat dict pytree {hash_table, density_mlp, rgb_mlp}; fp32
+master copies, bf16 compute inside the MLPs.
+"""
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+
+from ngp_tpu.ops.hash_encoding import HashGridSpec, hash_encode, hash_table_init
+from ngp_tpu.ops.mlp import mlp_apply, mlp_init
+from ngp_tpu.ops.sh_encoding import sh_encode
+from ngp_tpu.utils.config import NetworkConfig
+
+
+@dataclass(frozen=True)
+class NGPModel:
+    """Static model definition; parameters are a separate pytree."""
+
+    config: NetworkConfig
+    grid_spec: HashGridSpec
+
+    @staticmethod
+    def create(config: NetworkConfig) -> "NGPModel":
+        return NGPModel(config=config, grid_spec=HashGridSpec.create(config.encoding))
+
+    # ---------------------------------------------------------------- params
+    def init(self, key):
+        k_table, k_density, k_rgb = jax.random.split(key, 3)
+        cfg = self.config
+        sh_dims = cfg.sh_degree**2
+        density_out = cfg.density_n_output_dims
+        return {
+            "hash_table": hash_table_init(k_table, self.grid_spec),
+            "density_mlp": mlp_init(
+                k_density,
+                n_input=self.grid_spec.n_output_dims,
+                n_neurons=cfg.density_mlp.n_neurons,
+                n_output=density_out,
+                n_hidden_layers=cfg.density_mlp.n_hidden_layers,
+            ),
+            "rgb_mlp": mlp_init(
+                k_rgb,
+                n_input=density_out + sh_dims,
+                n_neurons=cfg.rgb_mlp.n_neurons,
+                n_output=3,
+                n_hidden_layers=cfg.rgb_mlp.n_hidden_layers,
+            ),
+        }
+
+    def n_params(self, params) -> int:
+        return sum(int(x.size) for x in jax.tree_util.tree_leaves(params))
+
+    # --------------------------------------------------------------- forward
+    def density_raw(self, params, pos):
+        """pos: (N, 3) warped in [0,1] -> raw density-head output (N, 16).
+
+        Channel 0 is raw log-density. Reference: NGPNetwork::density
+        (ngp_network.h:286) = pos encode -> density MLP.
+        """
+        enc = hash_encode(params["hash_table"], pos, self.grid_spec)
+        cfg = self.config.density_mlp
+        return mlp_apply(params["density_mlp"], enc, cfg.activation, cfg.output_activation)
+
+    def rgbsigma_raw(self, params, pos, warped_dir):
+        """(N,3),(N,3) -> raw (rgb (N,3), sigma (N,)) pre-activation.
+
+        Reference: NGPNetwork::inference_mixed_precision (ngp_network.h:224)
+        -> assemble_rgbd (h:68): output = [rgb_net(concat(density_out, SH)),
+        density_out[0]].
+        """
+        density_out = self.density_raw(params, pos)
+        sh = sh_encode(warped_dir, self.config.sh_degree)
+        rgb_in = jnp.concatenate([density_out, sh], axis=-1)
+        cfg = self.config.rgb_mlp
+        rgb_raw = mlp_apply(params["rgb_mlp"], rgb_in, cfg.activation, cfg.output_activation)
+        return rgb_raw, density_out[..., 0]
+
+
+# ------------------------------------------------------------ transfer fns
+# Reference: common_device.h:292-342. Defaults: density Exponential with
+# clamped inputs; rgb Logistic.
+
+def apply_rgb_activation(raw, activation: str = "Logistic"):
+    a = activation.lower()
+    if a == "none":
+        return raw
+    if a == "relu":
+        return jax.nn.relu(raw)
+    if a == "logistic":
+        return jax.nn.sigmoid(raw)
+    if a == "exponential":
+        return jnp.exp(jnp.clip(raw, -10.0, 10.0))
+    raise ValueError(f"Unknown rgb activation {activation}")
+
+
+def apply_density_activation(raw, activation: str = "Exponential"):
+    a = activation.lower()
+    if a == "none":
+        return raw
+    if a == "relu":
+        return jax.nn.relu(raw)
+    if a == "logistic":
+        return jax.nn.sigmoid(raw)
+    if a == "exponential":
+        # network_to_density clamps only the derivative path (common_device.h:
+        # 314-334); clamp the forward exp for bf16/fp32 safety — identical in
+        # the regime where densities are finite.
+        return jnp.exp(jnp.clip(raw, -15.0, 15.0))
+    raise ValueError(f"Unknown density activation {activation}")

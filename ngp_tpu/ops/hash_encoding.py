@@ -1,0 +1,128 @@
+"""Multiresolution hash-grid encoding — the heart of Instant-NGP — in jnp.
+
+TPU-native replacement for tiny-cuda-nn's `HashGrid` encoding (config
+base.json:16-21; created at reference ngp_network.h:162; parameters derived
+at ngp_network.h:602-642). Semantics follow the Instant-NGP paper (Mueller et
+al. 2022) and tcnn's grid:
+
+ * level l in [0, L): scale_l = Nmin * b^l - 1, resolution res_l = ceil(scale_l)+1
+ * position x in [0,1]^3 scaled to x*scale_l + 0.5; trilinear interpolation
+   over the 8 surrounding integer corners
+ * corner -> table index: DENSE (x + y*res + z*res^2) while res_l^3 fits in
+   the table, otherwise spatial hash (x*1 ^ y*2654435761 ^ z*805459861) mod T
+ * F features per level, outputs concatenated level-major -> L*F dims
+
+TPU mapping: one gather per level from an fp32 table (peak memory stays at
+[N, 8, F] per level); the backward pass is the gather's transpose — a
+deterministic scatter-add XLA generates from autodiff, replacing tcnn's
+atomicAdd race (which this module therefore makes reproducible). A Pallas
+double-buffered gather kernel can swap in underneath `encode` later.
+"""
+
+import math
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ngp_tpu.utils.config import HashEncodingConfig
+
+_PRIMES = np.array([1, 2654435761, 805459861], dtype=np.uint32)
+
+# 8 corner offsets of a unit cube, shape (8, 3)
+_CORNERS = np.array([[(c >> 0) & 1, (c >> 1) & 1, (c >> 2) & 1] for c in range(8)], dtype=np.float32)
+
+
+@dataclass(frozen=True)
+class HashGridSpec:
+    """Static per-level layout, precomputed on host from the config."""
+
+    n_levels: int
+    n_features: int
+    scales: tuple  # float per level
+    resolutions: tuple  # int per level
+    dense: tuple  # bool per level
+    sizes: tuple  # table entries per level
+    offsets: tuple  # exclusive prefix of sizes
+
+    @property
+    def n_entries(self) -> int:
+        return self.offsets[-1] + self.sizes[-1]
+
+    @property
+    def n_output_dims(self) -> int:
+        return self.n_levels * self.n_features
+
+    @staticmethod
+    def create(cfg: HashEncodingConfig) -> "HashGridSpec":
+        scales, resolutions, dense, sizes, offsets = [], [], [], [], []
+        off = 0
+        for l in range(cfg.n_levels):
+            scale = cfg.base_resolution * (cfg.scale**l) - 1.0
+            res = int(math.ceil(scale)) + 1
+            is_dense = res**3 <= cfg.hashmap_size
+            # align each level's stride (tcnn aligns to 8 for vectorized loads;
+            # we keep it so table sizes/param counts match expectations)
+            size = -(-(res**3) // 8) * 8 if is_dense else cfg.hashmap_size
+            scales.append(scale)
+            resolutions.append(res)
+            dense.append(is_dense)
+            sizes.append(size)
+            offsets.append(off)
+            off += size
+        return HashGridSpec(
+            n_levels=cfg.n_levels,
+            n_features=cfg.n_features_per_level,
+            scales=tuple(scales),
+            resolutions=tuple(resolutions),
+            dense=tuple(dense),
+            sizes=tuple(sizes),
+            offsets=tuple(offsets),
+        )
+
+
+def hash_table_init(key, spec: HashGridSpec, scale: float = 1e-4):
+    """Uniform(-1e-4, 1e-4) init, tcnn's default for grid params."""
+    return jax.random.uniform(key, (spec.n_entries, spec.n_features), jnp.float32, -scale, scale)
+
+
+def _level_indices(pos, level: int, spec: HashGridSpec):
+    """pos: (N, 3) in [0,1] -> corner table indices (N, 8) and weights (N, 8)."""
+    scaled = pos * spec.scales[level] + 0.5
+    base = jnp.floor(scaled)
+    frac = scaled - base
+    base = base.astype(jnp.int32)
+
+    corners = jnp.asarray(_CORNERS, jnp.int32)  # (8, 3)
+    cpos = base[:, None, :] + corners[None, :, :]  # (N, 8, 3)
+
+    # trilinear weights: prod over dims of (frac if corner==1 else 1-frac)
+    w = jnp.where(corners[None].astype(bool), frac[:, None, :], 1.0 - frac[:, None, :])
+    weights = w[..., 0] * w[..., 1] * w[..., 2]  # (N, 8)
+
+    res = spec.resolutions[level]
+    if spec.dense[level]:
+        cpos = jnp.clip(cpos, 0, res - 1)
+        idx = cpos[..., 0] + cpos[..., 1] * res + cpos[..., 2] * (res * res)
+        idx = idx.astype(jnp.uint32)
+    else:
+        u = cpos.astype(jnp.uint32)
+        primes = jnp.asarray(_PRIMES)
+        idx = (u[..., 0] * primes[0]) ^ (u[..., 1] * primes[1]) ^ (u[..., 2] * primes[2])
+        idx = idx % jnp.uint32(spec.sizes[level])
+    return (idx + jnp.uint32(spec.offsets[level])).astype(jnp.int32), weights
+
+
+def hash_encode(table, pos, spec: HashGridSpec):
+    """table: (n_entries, F), pos: (N, 3) in [0,1] -> (N, L*F) fp32.
+
+    Differentiable w.r.t. `table` (autodiff yields a deterministic
+    scatter-add, the TPU replacement for tcnn's atomic grid backward).
+    """
+    outs = []
+    for l in range(spec.n_levels):
+        idx, weights = _level_indices(pos, l, spec)
+        feats = table[idx]  # (N, 8, F) gather
+        outs.append(jnp.sum(feats * weights[..., None], axis=1))  # (N, F)
+    return jnp.concatenate(outs, axis=-1)

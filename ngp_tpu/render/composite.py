@@ -1,0 +1,139 @@
+"""Differentiable emission-absorption compositing over flat sample buffers.
+
+TPU-native rebuild of the reference's training ray marcher
+(internal/render/ray_marcher.cu:15-213, volume_rendering_with_loss_and_
+gradient_kernal). The reference hand-derives ~250 lines of chain rule
+(cu:156-188, including the "suffix" trick for density gradients); here the
+composite is written once as masked segment ops over the flat sample buffer
+and `jax.grad` derives the backward pass — tests validate it against the
+reference's closed-form gradient formulas.
+
+Layout: samples of one ray are CONTIGUOUS in the flat [C] buffer (the
+prefix-sum compaction in sampling/lattice.py guarantees it), so per-ray
+prefix transmittance is a plain cumsum minus a per-segment offset — no
+associative segmented scan machinery needed.
+
+Key exact identity exploited: log(1 - alpha_j) = -sigma_j * dt_j, so the
+transmittance prefix product is exp(-cumsum(sigma dt)) with zero numerical
+drama even when alpha -> 1.
+"""
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ngp_tpu.ops import losses
+from ngp_tpu.utils.config import LOSS_SCALE
+
+
+class CompositeResult(NamedTuple):
+    rgb_ray: jnp.ndarray  # (R, 3) composited color (incl. background term)
+    trans_end: jnp.ndarray  # (R,) transmittance after the included samples
+    include: jnp.ndarray  # (C,) bool — samples contributing (T >= threshold)
+    n_included: jnp.ndarray  # (R,) int32 — "compacted" sample counts
+    exhausted: jnp.ndarray  # (R,) bool — marched all samples without early stop
+
+
+def composite_rays(
+    rgb,  # (C, 3) post-activation colors
+    sigma,  # (C,) post-activation densities
+    dt,  # (C,) unwarped step sizes
+    ray_ids,  # (C,) int32 segment id per sample (contiguous segments)
+    valid,  # (C,) bool
+    base,  # (R,) int32 flat start offset per ray
+    counts,  # (R,) int32 valid samples per ray
+    n_rays: int,
+    background,  # (3,) or (R, 3) color composited behind exhausted rays
+    transmittance_threshold: float,
+) -> CompositeResult:
+    """Forward composite with the reference's early-stop semantics.
+
+    A sample is included iff the transmittance *before* it is >= threshold
+    (the reference breaks out of the loop at that point, ray_marcher.cu:72);
+    the background is added only for rays that were not early-stopped
+    (cu:123-126).
+    """
+    sdt = jnp.where(valid, sigma * dt, 0.0)
+    incl_cumsum = jnp.cumsum(sdt)
+    excl_cumsum = incl_cumsum - sdt
+    # per-segment offset: value of the exclusive cumsum at each segment start
+    seg_start = jnp.where(base > 0, incl_cumsum[jnp.maximum(base - 1, 0)], 0.0)
+    acc_before = excl_cumsum - seg_start[ray_ids]  # sum of sigma*dt of prior samples in ray
+    trans = jnp.exp(-acc_before)
+
+    include = valid & (trans >= transmittance_threshold)
+    alpha = 1.0 - jnp.exp(-sdt)
+    weight = jnp.where(include, alpha * trans, 0.0)
+
+    rgb_ray = jax.ops.segment_sum(weight[:, None] * rgb, ray_ids, n_rays, indices_are_sorted=True)
+    n_included = jax.ops.segment_sum(include.astype(jnp.int32), ray_ids, n_rays, indices_are_sorted=True)
+    trans_end = jnp.exp(-jax.ops.segment_sum(jnp.where(include, sdt, 0.0), ray_ids, n_rays, indices_are_sorted=True))
+
+    exhausted = n_included == counts
+    bg = jnp.broadcast_to(jnp.asarray(background, jnp.float32), (n_rays, 3))
+    rgb_ray = rgb_ray + jnp.where(exhausted[:, None], trans_end[:, None] * bg, 0.0)
+    return CompositeResult(rgb_ray, trans_end, include, n_included, exhausted)
+
+
+def train_loss(
+    rgb_raw,  # (C, 3) pre-activation network rgb
+    sigma_raw,  # (C,) pre-activation network density
+    dt,
+    ray_ids,
+    valid,
+    base,
+    counts,
+    ray_valid,  # (R,) bool — ray produced >= 1 sample (cu:408: zero-step rays dropped)
+    rgb_target,  # (R, 3)
+    background,  # (3,) or (R, 3), linear, already the *training* background
+    *,
+    n_rays_denom: int,
+    loss_type: str,
+    transmittance_threshold: float,
+    rgb_activation: str,
+    density_activation: str,
+    mean_density,
+    min_optical_thickness: float,
+    apply_rgb_activation,
+    apply_density_activation,
+):
+    """Scalar training objective; `jax.grad` of this reproduces the
+    reference's hand-derived sample gradients (ray_marcher.cu:156-188).
+
+    Effective objective (after folding the reference's LOSS_SCALE handling,
+    cu:148-153 and tcnn Trainer's divide-by-loss-scale):
+
+      L = (1/n_rays) sum_rays mean_rgb loss(target, composited)
+        + [rgb act == Exponential] (1e-4 / n_rays) * 0.5 * relu(rgb_raw)^2
+        + [mean_density < min_opt]  (1e-4 / LOSS_SCALE) * relu(-sigma_raw)
+          (the reference adds the density-L1 term unscaled by loss_scale,
+           cu:182 — we reproduce the effective magnitude exactly)
+
+    Returns (loss_scalar, aux dict).
+    """
+    n_rays = rgb_target.shape[0]
+    sigma = apply_density_activation(sigma_raw, density_activation)
+    rgb = apply_rgb_activation(rgb_raw, rgb_activation)
+
+    res = composite_rays(
+        rgb, sigma, dt, ray_ids, valid, base, counts, n_rays, background, transmittance_threshold
+    )
+    per_ray_loss = jnp.mean(losses.loss_value(rgb_target, res.rgb_ray, loss_type), axis=-1)
+    per_ray_loss = jnp.where(ray_valid, per_ray_loss, 0.0)
+    loss = jnp.sum(per_ray_loss) / n_rays_denom
+
+    include = jax.lax.stop_gradient(res.include)
+    if rgb_activation.lower() == "exponential":
+        reg = 0.5 * 1e-4 * jnp.sum(jnp.where(include[:, None], jax.nn.relu(rgb_raw) ** 2, 0.0))
+        loss = loss + reg / n_rays_denom
+    l1_coeff = jnp.where(mean_density < min_optical_thickness, 1e-4 / LOSS_SCALE, 0.0)
+    loss = loss + l1_coeff * jnp.sum(jnp.where(include, jax.nn.relu(-sigma_raw), 0.0))
+
+    aux = {
+        "per_ray_loss": per_ray_loss,
+        "rgb_ray": res.rgb_ray,
+        "n_included": res.n_included,
+        "measured_batch_size": jnp.sum(res.n_included),
+    }
+    return loss, aux

@@ -1,0 +1,143 @@
+"""Closed-form t-lattice ray marching — the TPU replacement for per-thread DDA.
+
+Why a lattice: the reference's marcher (occupancy_sampler.cu:310-449) either
+*samples* at t (occupied voxel) or *skips* via advance_to_next_voxel
+(cu:287-308), which — in its shipped "regular stepping" mode — advances t by
+whole multiples of dt until past the next voxel boundary. With the cone angle
+constant c = 0 (base.json:7), dt == min_cone_stepsize always (calc_dt,
+cu:207-214), so every t the reference ever visits lies on the fixed lattice
+
+    t_i = startt + i * min_cone_stepsize.
+
+The divergent per-ray while-loop is therefore exactly equivalent to: evaluate
+occupancy at all lattice points in parallel, mask to points inside the AABB
+(a prefix, since t_i is increasing and the box is convex), and keep the first
+`n_max_steps` occupied points. That is a pure fixed-shape vector program —
+ideal for the VPU — and what this module implements.
+
+(c > 0 makes the lattice piecewise-geometric but still closed-form; no
+shipped config uses it, and `assert_supported` documents the restriction.)
+
+Memory discipline: [n_rays, n_lattice] position tensors are never
+materialized; everything walks the lattice in chunks via lax.scan, keeping
+peak extra memory at [n_rays, chunk, 3].
+"""
+
+import jax
+import jax.numpy as jnp
+
+from ngp_tpu.grid.occupancy import mip_from_dt, occupancy_lookup
+from ngp_tpu.utils.aabb import AABB, warp_dt
+from ngp_tpu.utils.config import SamplerConfig
+
+_CHUNK = 128
+
+
+def assert_supported(cfg: SamplerConfig):
+    if cfg.cone_angle_constant != 0.0:
+        raise NotImplementedError(
+            "cone_angle_constant > 0 (geometric stepping) is not implemented; "
+            "every shipped reference config uses 0 (base.json:7)."
+        )
+
+
+def n_lattice_points(cfg: SamplerConfig) -> int:
+    """Static lattice length: enough steps to cross the scene AABB diagonal."""
+    import math
+
+    diag = math.sqrt(3.0) * cfg.aabb_scale
+    n = int(math.ceil(diag / cfg.min_cone_stepsize)) + 1
+    return -(-n // _CHUNK) * _CHUNK  # round up to a whole number of chunks
+
+
+class MarchResult(NamedTuple):
+    counts: jnp.ndarray  # (R,) int32 — number of occupied samples (<= n_max_steps)
+    # carried by the second pass only:
+    # flat sample buffers are produced by `scatter_samples`
+
+
+def _chunk_mask(cfg: SamplerConfig, aabb: AABB, occupancy, o, d, startt, chunk_start, taken_so_far):
+    """Occupied-sample mask for lattice points [chunk_start, chunk_start+_CHUNK).
+
+    Returns (mask (R, CHUNK) bool, t (R, CHUNK)). `taken_so_far` caps total
+    occupied samples per ray at n_max_steps, matching the `j < n_max_steps`
+    loop bound (occupancy_sampler.cu:397).
+    """
+    dt = cfg.min_cone_stepsize
+    i = chunk_start + jnp.arange(_CHUNK, dtype=jnp.float32)
+    t = startt[:, None] + i[None, :] * dt  # (R, CHUNK)
+    pos = o[:, None, :] + t[..., None] * d[:, None, :]  # (R, CHUNK, 3)
+    inside = aabb.contains(pos)
+    mip = mip_from_dt(jnp.full_like(t, dt), pos, cfg.grid_size, cfg.n_cascades)
+    occ = occupancy_lookup(cfg, occupancy, pos, mip)
+    mask = inside & occ
+    # enforce the per-ray sample cap (the reference's `j < n_max_steps`)
+    ordinal = taken_so_far[:, None] + jnp.cumsum(mask, axis=1) - mask.astype(jnp.int32)
+    mask = mask & (ordinal < cfg.maximum_marching_steps)
+    return mask, t, ordinal
+
+
+def count_samples(cfg: SamplerConfig, aabb: AABB, occupancy, o, d, startt, n_lattice: int):
+    """Pass 1: per-ray occupied-sample counts (R,) int32.
+
+    Mirrors the reference's first marching pass (occupancy_sampler.cu:389-407).
+    """
+
+    def body(taken, chunk_idx):
+        mask, _, _ = _chunk_mask(cfg, aabb, occupancy, o, d, startt, chunk_idx * _CHUNK, taken)
+        return taken + jnp.sum(mask, axis=1, dtype=jnp.int32), None
+
+    taken, _ = jax.lax.scan(body, jnp.zeros(o.shape[0], jnp.int32), jnp.arange(n_lattice // _CHUNK))
+    return taken
+
+
+def scatter_samples(
+    cfg: SamplerConfig,
+    aabb: AABB,
+    occupancy,
+    o,
+    d,
+    startt,
+    base,
+    ray_valid,
+    n_lattice: int,
+    capacity: int,
+):
+    """Pass 2: scatter each ray's occupied samples into flat [capacity] buffers.
+
+    Ray r's j-th occupied sample lands at flat index base[r] + j — the
+    prefix-sum replacement for the reference's atomicAdd compaction
+    (occupancy_sampler.cu:413-426). Returns (pos_w, dir_w, dt_w, valid):
+    warped coords per common_device.h:347-404, padded with zeros.
+    """
+    dt = cfg.min_cone_stepsize
+    dt_w = warp_dt(dt, dt, cfg.n_cascades)
+    R = o.shape[0]
+
+    flat_pos = jnp.zeros((capacity, 3), jnp.float32)
+    flat_t = jnp.zeros((capacity,), jnp.float32)
+    flat_ray = jnp.zeros((capacity,), jnp.int32)
+    flat_valid = jnp.zeros((capacity,), bool)
+
+    def body(carry, chunk_idx):
+        taken, flat_pos, flat_t, flat_ray, flat_valid = carry
+        mask, t, ordinal = _chunk_mask(cfg, aabb, occupancy, o, d, startt, chunk_idx * _CHUNK, taken)
+        mask = mask & ray_valid[:, None]
+        dest = base[:, None] + ordinal  # (R, CHUNK)
+        dest = jnp.where(mask, dest, capacity)  # out-of-range drops in scatter
+        dest_f = dest.reshape(-1)
+        pos = o[:, None, :] + t[..., None] * d[:, None, :]
+        flat_pos = flat_pos.at[dest_f].set(aabb.relative_pos(pos).reshape(-1, 3), mode="drop")
+        flat_t = flat_t.at[dest_f].set(t.reshape(-1), mode="drop")
+        ray_ids = jnp.broadcast_to(jnp.arange(R, dtype=jnp.int32)[:, None], mask.shape)
+        flat_ray = flat_ray.at[dest_f].set(ray_ids.reshape(-1), mode="drop")
+        flat_valid = flat_valid.at[dest_f].set(mask.reshape(-1), mode="drop")
+        taken = taken + jnp.sum(mask, axis=1, dtype=jnp.int32)
+        return (taken, flat_pos, flat_t, flat_ray, flat_valid), None
+
+    init = (jnp.zeros(R, jnp.int32), flat_pos, flat_t, flat_ray, flat_valid)
+    (taken, flat_pos, flat_t, flat_ray, flat_valid), _ = jax.lax.scan(body, init, jnp.arange(n_lattice // _CHUNK))
+
+    dir_w = (d[flat_ray] + 1.0) * 0.5
+    dts = jnp.full((capacity,), dt_w, jnp.float32)
+    return flat_pos, dir_w, dts, flat_ray, flat_valid

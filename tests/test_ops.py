@@ -1,0 +1,163 @@
+"""Tests for losses / SH / hash encoding / MLP ops."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ngp_tpu.ops import losses
+from ngp_tpu.ops.hash_encoding import HashGridSpec, hash_encode, hash_table_init
+from ngp_tpu.ops.mlp import mlp_apply, mlp_init
+from ngp_tpu.ops.sh_encoding import sh_encode
+from ngp_tpu.utils.config import HashEncodingConfig
+
+
+# --------------------------------------------------------------------- losses
+@pytest.mark.parametrize("name", ["L2", "L1", "SmoothL1", "LogL1"])
+def test_loss_gradients_match_autodiff(name):
+    rng = np.random.default_rng(3)
+    target = jnp.asarray(rng.uniform(0, 1, (64,)), jnp.float32)
+    pred = jnp.asarray(rng.uniform(-0.2, 1.2, (64,)), jnp.float32)
+    val, grad = losses.loss_and_gradient(target, pred, name)
+    auto = jax.grad(lambda p: losses.loss_value(target, p, name).sum())(pred)
+    np.testing.assert_allclose(np.asarray(grad), np.asarray(auto), rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("name", ["RelativeL2", "Smape", "Mape"])
+def test_ratio_loss_gradients_treat_factor_constant(name):
+    """The reference's RelativeL2/SMAPE/MAPE gradients intentionally ignore the
+    prediction-dependence of the normalization factor (loss.cu:31-103); verify
+    our closed form does the same: grad == d(raw loss)/dp * factor."""
+    rng = np.random.default_rng(4)
+    target = jnp.asarray(rng.uniform(0, 1, (64,)), jnp.float32)
+    pred = jnp.asarray(rng.uniform(-0.2, 1.2, (64,)), jnp.float32)
+    _, grad = losses.loss_and_gradient(target, pred, name)
+    d = pred - target
+    if name == "RelativeL2":
+        factor = 1.0 / (pred**2 + 1e-2)
+        expect = 2.0 * d * factor
+    elif name == "Smape":
+        factor = 1.0 / (0.5 * (jnp.abs(pred) + jnp.abs(target)) + 1e-2)
+        expect = jnp.where(d >= 0, factor, -factor)
+    else:
+        factor = 1.0 / (jnp.abs(pred) + 1e-2)
+        expect = jnp.where(d >= 0, factor, -factor)
+    np.testing.assert_allclose(np.asarray(grad), np.asarray(expect), rtol=1e-5)
+
+
+def test_loss_values_analytic():
+    t = jnp.array([0.5])
+    p = jnp.array([0.75])
+    np.testing.assert_allclose(losses.l2(t, p)[0], [0.0625])
+    np.testing.assert_allclose(losses.l1(t, p)[0], [0.25])
+    # SmoothL1 alpha=0.1: |d|=0.25 > alpha -> |d| - alpha/2 = 0.2
+    np.testing.assert_allclose(losses.smooth_l1(t, p)[0], [0.2], rtol=1e-6)
+    np.testing.assert_allclose(losses.smooth_l1(t, jnp.array([0.55]))[0], [0.5 / 0.1 * 0.0025], rtol=1e-5)
+    with pytest.raises(ValueError):
+        losses.loss_and_gradient(t, p, "NotALoss")
+
+
+# ------------------------------------------------------------------------ SH
+def test_sh_constant_and_linear_bands():
+    d = jnp.array([[0.5, 0.5, 1.0]])  # unwarps to (0,0,1)
+    out = np.asarray(sh_encode(d, 4))[0]
+    assert out.shape == (16,)
+    np.testing.assert_allclose(out[0], 0.28209479, rtol=1e-6)
+    # direction (0,0,1): band 1 = [-0.4886*y, 0.4886*z, -0.4886*x] = [0, 0.4886, 0]
+    np.testing.assert_allclose(out[1:4], [0.0, 0.48860252, 0.0], atol=1e-6)
+    # z=1: band-2 m=0 term 0.9462*z^2-0.3154
+    np.testing.assert_allclose(out[6], 0.94617469 - 0.31539157, rtol=1e-5)
+
+
+def test_sh_degrees():
+    d = jnp.array([[0.2, 0.9, 0.4]])
+    for deg in (1, 2, 3, 4):
+        assert sh_encode(d, deg).shape == (1, deg**2)
+
+
+# ---------------------------------------------------------------- hash grid
+def _tiny_spec(n_levels=4, log2_T=8, base=4):
+    return HashGridSpec.create(HashEncodingConfig(n_levels=n_levels, n_features_per_level=2, log2_hashmap_size=log2_T, base_resolution=base, desired_resolution=64.0))
+
+
+def test_hash_spec_layout():
+    spec = _tiny_spec()
+    assert spec.n_levels == 4 and spec.n_output_dims == 8
+    # low levels dense, high levels hashed
+    assert spec.dense[0] and not spec.dense[-1]
+    assert spec.sizes[-1] == 256
+    assert spec.offsets == tuple(np.cumsum([0] + list(spec.sizes[:-1])))
+
+
+def test_hash_encode_interpolates_dense_level():
+    """On a dense level, encoding at a grid vertex returns that vertex's features."""
+    cfg = HashEncodingConfig(n_levels=1, n_features_per_level=2, log2_hashmap_size=12, base_resolution=5, per_level_scale=1.0)
+    spec = HashGridSpec.create(cfg)
+    res, scale = spec.resolutions[0], spec.scales[0]  # res=5, scale=4
+    table = jnp.asarray(np.random.default_rng(0).normal(size=(spec.n_entries, 2)), jnp.float32)
+
+    # vertex (1,2,3) corresponds to pos = ((1,2,3) - 0.5 + 0.5)/scale
+    pos = jnp.array([[1.0 / scale, 2.0 / scale, 3.0 / scale]])
+    out = np.asarray(hash_encode(table, pos, spec))[0]
+    vertex_idx = 1 + 2 * res + 3 * res * res
+    np.testing.assert_allclose(out, np.asarray(table)[vertex_idx], rtol=1e-5)
+
+    # midpoint between (0,0,0) and (1,0,0) averages the two vertices
+    pos = jnp.array([[0.5 / scale, 0.0, 0.0]])
+    out = np.asarray(hash_encode(table, pos, spec))[0]
+    expect = 0.5 * (np.asarray(table)[0] + np.asarray(table)[1])
+    np.testing.assert_allclose(out, expect, rtol=1e-5)
+
+
+def test_hash_encode_grad_is_scatter_add():
+    spec = _tiny_spec()
+    table = hash_table_init(jax.random.PRNGKey(0), spec)
+    pos = jnp.asarray(np.random.default_rng(1).uniform(0, 1, (32, 3)), jnp.float32)
+
+    def f(tbl):
+        return jnp.sum(hash_encode(tbl, pos, spec) ** 2)
+
+    g = jax.grad(f)(table)
+    assert g.shape == table.shape
+    # gradient only at touched entries; sum of |g| > 0
+    assert float(jnp.sum(jnp.abs(g))) > 0
+    # numerical check on one touched entry
+    touched = int(jnp.argmax(jnp.abs(g).sum(-1)))
+    eps = 1e-3
+    tp = table.at[touched, 0].add(eps)
+    tm = table.at[touched, 0].add(-eps)
+    fd = (f(tp) - f(tm)) / (2 * eps)
+    np.testing.assert_allclose(float(g[touched, 0]), float(fd), rtol=2e-2, atol=1e-5)
+
+
+def test_hash_encode_continuity_across_cell():
+    """Encoding is continuous at cell boundaries (trilerp correctness)."""
+    spec = _tiny_spec()
+    table = jnp.asarray(np.random.default_rng(2).normal(size=(spec.n_entries, 2)), jnp.float32)
+    p = 0.37
+    eps = 1e-6
+    a = hash_encode(table, jnp.array([[p - eps, 0.4, 0.6]]), spec)
+    b = hash_encode(table, jnp.array([[p + eps, 0.4, 0.6]]), spec)
+    # bounded by (max slope = |features| * finest scale) * 2eps
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-3)
+
+
+# ----------------------------------------------------------------------- MLP
+def test_mlp_shapes_and_structure():
+    w = mlp_init(jax.random.PRNGKey(0), n_input=32, n_neurons=64, n_output=16, n_hidden_layers=1)
+    assert [x.shape for x in w] == [(32, 64), (64, 16)]
+    w2 = mlp_init(jax.random.PRNGKey(0), n_input=32, n_neurons=64, n_output=3, n_hidden_layers=2)
+    assert [x.shape for x in w2] == [(32, 64), (64, 64), (64, 3)]
+
+    x = jnp.ones((8, 32))
+    y = mlp_apply(w, x)
+    assert y.shape == (8, 16) and y.dtype == jnp.float32
+
+
+def test_mlp_bf16_close_to_fp32():
+    w = mlp_init(jax.random.PRNGKey(1), 32, 64, 16, 2)
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(64, 32)), jnp.float32)
+    y16 = mlp_apply(w, x, compute_dtype=jnp.bfloat16)
+    y32 = mlp_apply(w, x, compute_dtype=jnp.float32)
+    err = np.abs(np.asarray(y16 - y32)).max() / (np.abs(np.asarray(y32)).max() + 1e-9)
+    assert err < 0.05
