@@ -50,12 +50,6 @@ def n_lattice_points(cfg: SamplerConfig) -> int:
     return -(-n // _CHUNK) * _CHUNK  # round up to a whole number of chunks
 
 
-class MarchResult(NamedTuple):
-    counts: jnp.ndarray  # (R,) int32 — number of occupied samples (<= n_max_steps)
-    # carried by the second pass only:
-    # flat sample buffers are produced by `scatter_samples`
-
-
 def _chunk_mask(cfg: SamplerConfig, aabb: AABB, occupancy, o, d, startt, chunk_start, taken_so_far):
     """Occupied-sample mask for lattice points [chunk_start, chunk_start+_CHUNK).
 
@@ -107,11 +101,13 @@ def scatter_samples(
 
     Ray r's j-th occupied sample lands at flat index base[r] + j — the
     prefix-sum replacement for the reference's atomicAdd compaction
-    (occupancy_sampler.cu:413-426). Returns (pos_w, dir_w, dt_w, valid):
-    warped coords per common_device.h:347-404, padded with zeros.
+    (occupancy_sampler.cu:413-426). Returns (pos_w, dir_w, dt, ray_ids,
+    valid): positions/directions warped per common_device.h:347-404, dt
+    UNWARPED (the network never consumes dt — the reference's encodings read
+    only dims 0-2 and 4-6 of the Coordinate struct, ngp_network.h:244-253 —
+    while the composite needs the real step size).
     """
     dt = cfg.min_cone_stepsize
-    dt_w = warp_dt(dt, dt, cfg.n_cascades)
     R = o.shape[0]
 
     flat_pos = jnp.zeros((capacity, 3), jnp.float32)
@@ -139,5 +135,5 @@ def scatter_samples(
     (taken, flat_pos, flat_t, flat_ray, flat_valid), _ = jax.lax.scan(body, init, jnp.arange(n_lattice // _CHUNK))
 
     dir_w = (d[flat_ray] + 1.0) * 0.5
-    dts = jnp.full((capacity,), dt_w, jnp.float32)
+    dts = jnp.full((capacity,), dt, jnp.float32)
     return flat_pos, dir_w, dts, flat_ray, flat_valid

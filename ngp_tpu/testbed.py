@@ -1,0 +1,223 @@
+"""Testbed — the user-facing facade, API-parity with the reference `pyngp`.
+
+Mirrors the pybind11 surface (reference internal/python_api.cu:90-138 +
+internal/testbed.h): `load_model_config`, `load_training_data`,
+`train(n_steps, target_batch_size)`, `render(w, h, spp, to_srgb)`,
+`save_snapshot`/`load_snapshot`, `set_nerf_camera_matrix`, the `fov` /
+`background_color` / `color_space` / `loss_type` properties, and the
+read-only `training_buffer` / read-write `rendering_buffer` views.
+
+A reference run.py works against this class with only the import changed.
+"""
+
+from dataclasses import dataclass, field
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ngp_tpu.data.nerf_synthetic import load_nerf_synthetic
+from ngp_tpu.grid.occupancy import mark_untrained_grid, update_occupancy
+from ngp_tpu.render.buffer import accumulate, tonemap
+from ngp_tpu.render.renderer import Renderer
+from ngp_tpu.train.snapshot import load_snapshot as _load_snapshot
+from ngp_tpu.train.snapshot import save_snapshot as _save_snapshot
+from ngp_tpu.train.trainer import Trainer, TrainingLoop
+from ngp_tpu.utils.camera import focal_length_to_fov, fov_to_focal_length, opengl_to_opencv
+from ngp_tpu.utils.config import NGPConfig, load_commented_json
+
+
+@dataclass
+class TrainingBufferView:
+    """Read-only training stats (python_api.cu:117-126)."""
+
+    i_step: int = 0
+    loss: float = float("nan")
+    measured_batch_size: int = 0
+    measured_batch_size_before_compaction: int = 0
+    training_prep_ms: float = 0.0
+    training_ms: float = 0.0
+
+
+@dataclass
+class RenderingBufferView:
+    """Read-write rendering controls (python_api.cu:128-138)."""
+
+    render_mode: str = "Shade"
+    tonemap_curve: str = "Identity"
+    exposure: float = 0.0
+    fov_axis: int = 1
+    relative_focal_length: tuple = (1.0, 1.0)
+    principal_point: tuple = (0.5, 0.5)
+    camera_matrix: np.ndarray = field(default_factory=lambda: np.zeros((3, 4), np.float32))
+
+
+class Testbed:
+    def __init__(self):
+        self.seed = 43
+        self.background_color = [0.0, 0.0, 0.0, 1.0]  # sRGB (testbed.h:116)
+        self.color_space = "Linear"
+        self.loss_type = "SmoothL1"
+        self.scene_scale = 1.0
+        self.scene_offset = (0.5, 0.5, 0.5)
+        self.training_buffer = TrainingBufferView()
+        self.rendering_buffer = RenderingBufferView()
+
+        self._config_doc = None
+        self.config: NGPConfig | None = None
+        self._trainer: Trainer | None = None
+        self._renderer: Renderer | None = None
+        self._state = None
+        self._loop: TrainingLoop | None = None
+        self._dataset = None
+        self._accum = None
+        self._spp = 0
+
+    # ------------------------------------------------------------ config/io
+    def load_model_config(self, config_path):
+        """testbed.cu:44-93: parse json/msgpack, build all components."""
+        path = str(config_path)
+        if path.endswith(".msgpack"):
+            self.load_snapshot(path)
+            return
+        self._config_doc = load_commented_json(path)
+        self._init_from_doc(self._config_doc)
+
+    def load_model_config_dict(self, doc: dict):
+        """Convenience for tests: config from an in-memory dict."""
+        self._config_doc = dict(doc)
+        self._init_from_doc(self._config_doc)
+
+    def _init_from_doc(self, doc):
+        self.config = NGPConfig.from_json(doc)
+        self.loss_type = self.config.loss
+        self._trainer = Trainer.create(self.config)
+        self._state = self._trainer.init_state(self.seed)
+        self._renderer = Renderer(
+            model=self._trainer.model,
+            config=self.config,
+            train_in_linear_color=self.config.render.train_in_linear_color,
+        )
+        self.training_buffer = TrainingBufferView()
+        self._loop = None
+
+    def load_training_data(self, data_path, scale: float = 0.33, offset=(0.5, 0.5, 0.5)):
+        """testbed.cu:95-125: load dataset + init (mark) the density grid."""
+        self._dataset = load_nerf_synthetic(data_path, scale, tuple(offset))
+        self.scene_scale = scale
+        self.scene_offset = tuple(offset)
+        ds = self._dataset
+        density = mark_untrained_grid(
+            self.config.sampler, (ds.resolution[0], ds.resolution[1]), ds.focal_length, ds.xforms
+        )
+        self._state = self._state._replace(grid=self._state.grid._replace(density=density))
+        self._loop = TrainingLoop(self._trainer, ds)
+
+    def save_snapshot(self, snapshot_path, serialize_optimizer: bool = False):
+        st = self._state
+        _save_snapshot(
+            snapshot_path,
+            self._config_doc or self.config.raw or {},
+            params=st.params,
+            ema_params=st.ema_params,
+            density_grid=st.grid.density,
+            grid_step=int(st.grid.step),
+            i_step=self.training_buffer.i_step,
+            scene_scale=self.scene_scale,
+            scene_offset=self.scene_offset,
+            opt_state=st.opt_state if serialize_optimizer else None,
+        )
+
+    def load_snapshot(self, snapshot_path):
+        doc, snap = _load_snapshot(snapshot_path)
+        self._config_doc = doc
+        self._init_from_doc(doc)
+        self.scene_scale = snap["scene_scale"]
+        self.scene_offset = tuple(snap["scene_offset"])
+        st = self._state
+        params = jax.tree_util.tree_map(lambda t, s: jnp.asarray(s, t.dtype), st.params, snap["params"])
+        ema = jax.tree_util.tree_map(lambda t, s: jnp.asarray(s, t.dtype), st.ema_params, snap["ema_params"])
+        grid = st.grid._replace(
+            density=jnp.asarray(snap["density_grid"]), step=jnp.int32(snap["grid_step"])
+        )
+        grid = update_occupancy(self.config.sampler, grid)  # bitfield recomputed (testbed.cu:160)
+        opt_state = st.opt_state
+        if "opt_state_leaves" in snap:
+            treedef = jax.tree_util.tree_structure(st.opt_state)
+            leaves = jax.tree_util.tree_leaves(st.opt_state)
+            new_leaves = [jnp.asarray(np.asarray(s), l.dtype).reshape(l.shape) for l, s in zip(leaves, snap["opt_state_leaves"], strict=True)]
+            opt_state = jax.tree_util.tree_unflatten(treedef, new_leaves)
+        self._state = st._replace(params=params, ema_params=ema, grid=grid, opt_state=opt_state)
+        # i_step restarts at 0, like the reference (testbed.cu:92 — the config
+        # reload resets the counter even on resume)
+        self.training_buffer = TrainingBufferView()
+
+    # -------------------------------------------------------------- training
+    def train(self, n_training_steps: int = 16, target_batch_size: int = 1 << 18):
+        if self._loop is None:
+            raise RuntimeError("load_training_data must be called before train()")
+        self._trainer.target_batch_size = target_batch_size
+        self._loop.i_step = self.training_buffer.i_step
+        self._state = self._loop.train(self._state, n_training_steps)
+        lb = self._loop
+        self.training_buffer = TrainingBufferView(
+            i_step=lb.i_step,
+            loss=lb.loss_scalar,
+            measured_batch_size=int(lb.measured_batch_size),
+            measured_batch_size_before_compaction=int(lb.measured_batch_size_before_compaction),
+            training_prep_ms=lb.training_prep_ms,
+            training_ms=lb.training_ms,
+        )
+
+    # ------------------------------------------------------------- rendering
+    @property
+    def fov(self):
+        rb = self.rendering_buffer
+        return float(np.asarray(focal_length_to_fov(1.0, rb.relative_focal_length[rb.fov_axis])))
+
+    @fov.setter
+    def fov(self, val):
+        f = float(np.asarray(fov_to_focal_length(1, val)))
+        self.rendering_buffer.relative_focal_length = (f, f)
+
+    def set_nerf_camera_matrix(self, cam):
+        """OpenGL nerf pose -> scene-convention camera (testbed.h:86-88)."""
+        cam = np.asarray(cam, np.float32).reshape(3, 4)
+        self.rendering_buffer.camera_matrix = np.asarray(
+            opengl_to_opencv(cam, self.scene_scale, list(self.scene_offset))
+        )
+
+    def render_frame(self, width: int, height: int):
+        """One spp frame accumulated into the internal buffer (testbed.cu:479)."""
+        rb = self.rendering_buffer
+        focal = rb.relative_focal_length[rb.fov_axis] * (width if rb.fov_axis == 0 else height)
+        frame = self._renderer.render_frame(
+            self._state.ema_params,
+            self._state.grid.occupancy,
+            rb.camera_matrix,
+            (width, height),
+            (focal, focal),
+            rb.principal_point,
+            self._spp,
+            render_mode=rb.render_mode,
+            scene_scale=self.scene_scale,
+        )
+        if self._accum is None or self._accum.shape[:2] != (height, width) or self._spp == 0:
+            self._accum = jnp.zeros((height, width, 4), jnp.float32)
+        self._accum = accumulate(self._accum, frame, self._spp, self.color_space)
+        self._spp += 1
+
+    def render(self, width: int, height: int, spp: int = 8, to_srgb: bool = True):
+        """python_api.cu:22-46: spp frames -> accumulate -> tonemap -> numpy."""
+        self._spp = 0
+        for _ in range(spp):
+            self.render_frame(width, height)
+        out = tonemap(
+            self._accum,
+            self.rendering_buffer.exposure,
+            self.background_color,
+            self.color_space,
+            "SRGB" if to_srgb else "Linear",
+            self.rendering_buffer.tonemap_curve,
+        )
+        return np.asarray(out)

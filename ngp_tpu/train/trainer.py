@@ -1,0 +1,311 @@
+"""Training orchestration: jitted train step, grid maintenance, controllers.
+
+Rebuild of reference Testbed::train / train_prep_nerf / train_nerf /
+train_nerf_step (testbed.cu:168-418) with TPU-shaped control flow:
+
+ * One jitted `train_step` = sample rays -> march lattice -> network forward
+   -> differentiable composite loss -> grads -> optax update -> param EMA.
+   The reference's separate inference + compacted fwd/bwd passes collapse
+   into one autodiff pass over the fixed-capacity flat sample buffer; its
+   loss-scale plumbing folds away in bf16 (see render/composite.py).
+ * `grid_update` (the train_prep, once per 16-step train() call,
+   testbed.cu:193-229): sample grid cells -> density inference -> scatter-max
+   splat -> EMA-max decay -> occupancy threshold + cascade max-pool.
+ * Host-side adaptive ray-count controller (testbed.cu:292-293), with ray
+   counts quantized to powers of two so XLA compiles a handful of shapes
+   instead of one per batch size.
+
+All dynamic quantities (sample counts, loss) live on device; the only
+device->host sync per train() call is the stats fetch at the end, mirroring
+the reference's single copy_to_host (testbed.cu:270-271).
+"""
+
+import functools
+from dataclasses import dataclass, field
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ngp_tpu.grid.occupancy import (
+    GridState,
+    sample_grid_positions,
+    splat_density_ema,
+    update_occupancy,
+)
+from ngp_tpu.models.ngp import NGPModel, apply_density_activation, apply_rgb_activation
+from ngp_tpu.render.composite import train_loss
+from ngp_tpu.sampling.lattice import n_lattice_points
+from ngp_tpu.sampling.training import generate_training_batch
+from ngp_tpu.train.optimizer import create_optimizer, ema_update
+from ngp_tpu.utils.aabb import AABB
+from ngp_tpu.utils.color import linear_to_srgb, srgb_to_linear
+from ngp_tpu.utils.config import BATCH_SIZE_MULTIPLE, NGPConfig
+
+
+class TrainState(NamedTuple):
+    params: Any
+    ema_params: Any
+    opt_state: Any
+    grid: GridState
+    step: jnp.ndarray  # () int32 optimizer step (i_step)
+    rng: jnp.ndarray  # jax PRNG key
+
+
+def compute_rgb_target(rgba, bg_linear, color_space: str, train_in_linear_color: bool):
+    """Per-ray training target + the background used in the composite.
+
+    Parity with ray_marcher.cu:104-121: with the default Linear color space
+    and train_in_linear_color=False the model is trained in sRGB space —
+    blend in linear, then convert target and background to sRGB.
+    Returns (rgb_target (R,3), bg_composite (R,3) or (3,)).
+    """
+    tex_rgb, tex_a = rgba[..., :3], rgba[..., 3:4]
+    if train_in_linear_color or color_space.lower() == "linear":
+        target = tex_rgb + (1.0 - tex_a) * bg_linear
+        bg = bg_linear
+        if not train_in_linear_color:
+            target = linear_to_srgb(target)
+            bg = linear_to_srgb(bg_linear)
+        return target, bg
+    # SRGB color space (nerf_compatibility): blend in sRGB
+    bg_srgb = linear_to_srgb(bg_linear)
+    safe_a = jnp.maximum(tex_a, 1e-9)
+    straight = linear_to_srgb(tex_rgb / safe_a) * tex_a
+    target = jnp.where(tex_a > 0, straight + (1.0 - tex_a) * bg_srgb, jnp.broadcast_to(bg_srgb, tex_rgb.shape))
+    return target, bg_srgb
+
+
+@dataclass
+class Trainer:
+    """Owns the static model/config and the compiled step functions."""
+
+    config: NGPConfig
+    model: NGPModel
+    aabb: AABB
+    rgb_activation: str = "Logistic"  # testbed.h:115
+    density_activation: str = "Exponential"  # testbed.h:114
+    background_color: tuple = (0.0, 0.0, 0.0)  # testbed.h:116 (srgb)
+    color_space: str = "Linear"  # testbed.h:117
+    target_batch_size: int = 1 << 18
+    sample_capacity: int = 1 << 19  # flat sample buffer (static shape)
+    _cache: dict = field(default_factory=dict)
+
+    @staticmethod
+    def create(config: NGPConfig) -> "Trainer":
+        model = NGPModel.create(config.network)
+        return Trainer(config=config, model=model, aabb=AABB.scene(config.sampler.aabb_scale))
+
+    # ------------------------------------------------------------------ init
+    def init_state(self, seed: int = 43) -> TrainState:
+        key = jax.random.PRNGKey(seed)
+        k_init, k_rng = jax.random.split(key)
+        params = self.model.init(k_init)
+        tx = create_optimizer(self.config.optimizer)
+        from ngp_tpu.grid.occupancy import create_grid_state
+
+        return TrainState(
+            params=params,
+            ema_params=jax.tree_util.tree_map(jnp.copy, params),
+            opt_state=tx.init(params),
+            grid=create_grid_state(self.config.sampler),
+            step=jnp.zeros((), jnp.int32),
+            rng=k_rng,
+        )
+
+    # ----------------------------------------------------------- train step
+    def _train_step_fn(self, n_rays: int):
+        cfg = self.config
+        scfg = cfg.sampler
+        model = self.model
+        aabb = self.aabb
+        tx = create_optimizer(cfg.optimizer)
+        n_lattice = n_lattice_points(scfg)
+        capacity = self.sample_capacity
+
+        def step_fn(state: TrainState, images, xforms, focal_length, n_rays_shift):
+            rng, k_batch, k_bg = jax.random.split(state.rng, 3)
+            batch = generate_training_batch(
+                scfg,
+                aabb,
+                images,
+                xforms,
+                focal_length,
+                (0.5, 0.5),
+                state.grid.occupancy,
+                k_batch,
+                n_rays,
+                n_rays_shift,
+                capacity,
+                n_lattice,
+            )
+
+            # background: one random sRGB color per step when enabled
+            # (kernel-wide rng copy => same color for all rays; ray_marcher.cu:90-93)
+            if cfg.render.train_with_random_bg_color:
+                bg_srgb = jax.random.uniform(k_bg, (3,))
+            else:
+                bg_srgb = jnp.asarray(self.background_color, jnp.float32)
+            bg_linear = srgb_to_linear(bg_srgb)
+            rgb_target, bg_composite = compute_rgb_target(
+                batch.rgba, bg_linear, self.color_space, cfg.render.train_in_linear_color
+            )
+
+            def loss_fn(params):
+                rgb_raw, sigma_raw = model.rgbsigma_raw(params, batch.pos, batch.dirs)
+                return train_loss(
+                    rgb_raw,
+                    sigma_raw,
+                    batch.dt,
+                    batch.ray_ids,
+                    batch.valid,
+                    batch.base,
+                    batch.counts,
+                    batch.ray_valid,
+                    rgb_target,
+                    bg_composite,
+                    n_rays_denom=n_rays,
+                    loss_type=cfg.loss,
+                    transmittance_threshold=cfg.render.transmittance_threshold,
+                    rgb_activation=self.rgb_activation,
+                    density_activation=self.density_activation,
+                    mean_density=state.grid.mean_density,
+                    min_optical_thickness=scfg.min_optical_thickness,
+                    apply_rgb_activation=apply_rgb_activation,
+                    apply_density_activation=apply_density_activation,
+                )
+
+            (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+            updates, opt_state = tx.update(grads, state.opt_state, state.params)
+            params = optax.apply_updates(state.params, updates)
+            ema_params = ema_update(state.ema_params, params, cfg.optimizer.ema_decay)
+
+            stats = {
+                "loss_sum": jnp.sum(aux["per_ray_loss"]),
+                "measured_batch_size": aux["measured_batch_size"],
+                "measured_batch_size_before_compaction": batch.n_samples,
+            }
+            new_state = TrainState(
+                params=params,
+                ema_params=ema_params,
+                opt_state=opt_state,
+                grid=state.grid,
+                step=state.step + 1,
+                rng=rng,
+            )
+            return new_state, stats
+
+        return step_fn
+
+    def train_step(self, n_rays: int):
+        """Jitted step for a given (static, power-of-two) ray count."""
+        key = ("step", n_rays)
+        if key not in self._cache:
+            self._cache[key] = jax.jit(
+                self._train_step_fn(n_rays), static_argnames=(), donate_argnums=(0,)
+            )
+        return self._cache[key]
+
+    # ----------------------------------------------------------- grid update
+    def _grid_update_fn(self, n_uniform: int, n_nonuniform: int):
+        cfg = self.config
+        scfg = cfg.sampler
+        model = self.model
+        aabb = self.aabb
+
+        def update_fn(state: TrainState):
+            rng, k_grid = jax.random.split(state.rng)
+            pos, idx = sample_grid_positions(
+                scfg, state.grid.density, k_grid, n_uniform, n_nonuniform, state.grid.step
+            )
+            warped = aabb.relative_pos(pos)
+            # density inference with the *training* params (testbed.cu:213-217
+            # passes use_inference_matrices=false)
+            raw = model.density_raw(state.params, warped)[:, 0]
+            dens = apply_density_activation(raw, self.density_activation)
+            grid = splat_density_ema(scfg, state.grid, idx, dens)
+            grid = update_occupancy(scfg, grid)
+            return state._replace(grid=grid, rng=rng)
+
+        return update_fn
+
+    def grid_update(self, i_step: int):
+        """Occupancy maintenance; uniform-only for the first 256 steps
+        (testbed.cu:196-198)."""
+        n_total = self.config.sampler.n_total_elements
+        if i_step >= 256:
+            shape = (n_total // 4, n_total // 4)
+        else:
+            shape = (n_total, 0)
+        key = ("grid", shape)
+        if key not in self._cache:
+            self._cache[key] = jax.jit(self._grid_update_fn(*shape), donate_argnums=(0,))
+        return self._cache[key]
+
+
+class TrainingLoop:
+    """Host-side loop state: adaptive ray count + telemetry (TrainingBuffer)."""
+
+    def __init__(self, trainer: Trainer, dataset):
+        self.trainer = trainer
+        self.dataset = dataset
+        self.n_rays_per_batch = 1 << 12  # testbed.h:141
+        self.n_rays_total = 0
+        self.i_step = 0
+        self.loss_scalar = float("nan")
+        self.measured_batch_size = trainer.target_batch_size
+        self.measured_batch_size_before_compaction = trainer.target_batch_size
+        self.training_prep_ms = 0.0
+        self.training_ms = 0.0
+
+    @staticmethod
+    def _quantize_n_rays(n: int) -> int:
+        """Power-of-two quantization, in [2^12, 2^18] (cap: testbed.cu:293)."""
+        n = max(1 << 12, min(n, 1 << 18))
+        return 1 << int(np.floor(np.log2(n)))
+
+    def train(self, state: TrainState, n_training_steps: int = 16):
+        """One reference train() call: grid prep + n steps + controller."""
+        import time
+
+        t0 = time.perf_counter()
+        state = self.trainer.grid_update(self.i_step)(state)
+        jax.block_until_ready(state.grid.density)
+        self.training_prep_ms = (time.perf_counter() - t0) * 1e3
+
+        t0 = time.perf_counter()
+        step_fn = self.trainer.train_step(self.n_rays_per_batch)
+        ds = self.dataset
+        all_stats = []
+        for _ in range(n_training_steps):
+            if self.i_step == 0:
+                self.n_rays_total = 0
+            shift = self.n_rays_total
+            self.n_rays_total += self.n_rays_per_batch
+            # shift must be a device scalar: a fresh python int would retrace
+            state, stats = step_fn(state, ds.images, ds.xforms, jnp.asarray(ds.focal_length), jnp.uint32(shift))
+            all_stats.append(stats)
+            self.i_step += 1
+
+        # single D->H sync for telemetry (testbed.cu:266-289)
+        stats = jax.device_get(all_stats)
+        self.training_ms = (time.perf_counter() - t0) * 1e3
+
+        measured = float(np.mean([s["measured_batch_size"] for s in stats]))
+        measured_bc = float(np.mean([s["measured_batch_size_before_compaction"] for s in stats]))
+        if measured == 0:
+            raise RuntimeError("Training generated 0 samples. Aborting training.")
+        self.measured_batch_size = measured
+        self.measured_batch_size_before_compaction = measured_bc
+
+        target = self.trainer.target_batch_size
+        loss_sum = float(np.sum([s["loss_sum"] / self.n_rays_per_batch for s in stats]))
+        self.loss_scalar = loss_sum / n_training_steps * (measured / target)
+
+        # adaptive ray count (testbed.cu:292-293), quantized for jit caching
+        n_rays = int(self.n_rays_per_batch * target / measured)
+        n_rays = -(-n_rays // BATCH_SIZE_MULTIPLE) * BATCH_SIZE_MULTIPLE
+        self.n_rays_per_batch = self._quantize_n_rays(n_rays)
+        return state
