@@ -1,0 +1,86 @@
+"""Benchmark: steady-state training throughput of the full-size NGP on TPU.
+
+Protocol (mirrors the reference training protocol, BASELINE.md): full
+base.json model (hash T=2^19 L=16 F=2, 64-wide MLPs, SH4), target batch
+2^18 samples/step, 16 steps per train() call, occupancy grid maintained
+every call. The scene is the procedural nerf_synthetic-format dataset
+(ngp_tpu/data/synthetic.py) since no real nerf_synthetic data ships here.
+
+Headline metric: training samples/second (network-visited samples per
+wall-clock second, the reference's measured_batch_size × steps / time).
+vs_baseline anchors against 1e8 samples/s — the tiny-cuda-nn-class
+single-GPU training throughput implied by the Instant-NGP paper's
+seconds-class lego training on an RTX 3090 (BASELINE.md's external anchor;
+the reference repo itself publishes no numbers).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+BASELINE_SAMPLES_PER_SEC = 1.0e8
+
+
+def main():
+    import jax
+    import numpy as np
+
+    from ngp_tpu.data.synthetic import write_synthetic_dataset
+    from ngp_tpu.testbed import Testbed
+
+    dev = jax.devices()[0]
+    print(f"# device: {dev.platform} {getattr(dev, 'device_kind', '?')}", file=sys.stderr)
+
+    with tempfile.TemporaryDirectory() as td:
+        t0 = time.perf_counter()
+        train_json, _ = write_synthetic_dataset(td, n_train=12, n_test=1, width=96, height=96)
+        print(f"# dataset gen: {time.perf_counter()-t0:.1f}s", file=sys.stderr)
+
+        tb = Testbed()
+        tb.load_model_config_dict({})  # full defaults == base.json
+        tb.load_training_data(train_json)
+
+        # warmup: let the grid bootstrap + jit compile all shapes
+        t0 = time.perf_counter()
+        while tb.training_buffer.i_step < 96:
+            tb.train(16, 1 << 18)
+        print(
+            f"# warmup 96 steps: {time.perf_counter()-t0:.1f}s "
+            f"(n_rays={tb._loop.n_rays_per_batch}, measured={tb.training_buffer.measured_batch_size})",
+            file=sys.stderr,
+        )
+
+        # timed region
+        n_steps = 256
+        start_step = tb.training_buffer.i_step
+        samples = 0
+        t0 = time.perf_counter()
+        while tb.training_buffer.i_step < start_step + n_steps:
+            tb.train(16, 1 << 18)
+            samples += tb.training_buffer.measured_batch_size * 16
+        elapsed = time.perf_counter() - t0
+        sps = samples / elapsed
+        print(
+            f"# {n_steps} steps in {elapsed:.2f}s -> {sps:.3e} samples/s "
+            f"({n_steps/elapsed:.1f} steps/s), loss={tb.training_buffer.loss:.5f}",
+            file=sys.stderr,
+        )
+
+    print(
+        json.dumps(
+            {
+                "metric": "train_samples_per_sec",
+                "value": sps,
+                "unit": "samples/s",
+                "vs_baseline": sps / BASELINE_SAMPLES_PER_SEC,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

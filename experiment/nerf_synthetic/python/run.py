@@ -1,0 +1,163 @@
+"""CLI driver — port of reference experiment/nerf_synthetic/python/run.py
+with `import pyngp` swapped for ngp_tpu. Same flags, same train/eval
+protocol (50k steps @ batch 2^18 in 16-step train() calls; eval at spp=8,
+black background, PSNR/SSIM/LPIPS + FPS to eval_stat).
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(__file__))
+from common import compute_error, linear_to_srgb, mse2psnr, read_image, write_depth, write_image  # noqa: E402
+
+import ngp_tpu as ngp  # noqa: E402
+
+
+def parse_args():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--scene", "--training_data", default="", help="The scene to load. A path to the training data.")
+    parser.add_argument("--network", default="", help="Path to the network config.")
+    parser.add_argument("--load_snapshot", default="", help="Load this snapshot before training. recommended extension: .msgpack")
+    parser.add_argument("--save_snapshot", default="", help="Save this snapshot after training. recommended extension: .msgpack")
+    parser.add_argument("--nerf_compatibility", action="store_true", help="Matches parameters with original NeRF.")
+    parser.add_argument("--test_transforms", default="", help="Path to a nerf style transforms json from which we will compute PSNR.")
+    parser.add_argument("--n_steps", type=int, default=-1, help="Number of steps to train.")
+    return parser.parse_args()
+
+
+def main():
+    args = parse_args()
+    testbed = ngp.Testbed()
+
+    if args.load_snapshot:
+        print("Loading snapshot ", args.load_snapshot)
+        testbed.load_snapshot(args.load_snapshot)
+        if args.scene:
+            testbed.load_training_data(args.scene, 0.33, [0.5, 0.5, 0.5])
+    else:
+        assert os.path.exists(args.network)
+        testbed.load_model_config(args.network)
+        testbed.load_training_data(args.scene, 0.33, [0.5, 0.5, 0.5])
+
+    if args.nerf_compatibility:
+        print("NeRF compatibility mode enabled")
+        # prior nerf papers accumulate/blend in sRGB (run.py:48-57)
+        testbed.color_space = "SRGB"
+
+    n_steps = args.n_steps
+    if n_steps < 0 and not args.load_snapshot:
+        n_steps = 100000
+
+    if n_steps > 0:
+        assert args.load_snapshot or args.save_snapshot
+        output_dir = os.path.dirname(args.load_snapshot if args.load_snapshot else args.save_snapshot) or "."
+        old_step = 0
+        start_t = time.perf_counter()
+        try:
+            from tqdm import tqdm
+
+            bar = tqdm(desc="Training", total=n_steps, unit="step")
+        except ImportError:
+            bar = None
+        while testbed.training_buffer.i_step < n_steps:
+            testbed.train(16, 2**18)
+            if bar:
+                bar.update(testbed.training_buffer.i_step - old_step)
+                bar.set_postfix(loss=testbed.training_buffer.loss)
+            old_step = testbed.training_buffer.i_step
+        if bar:
+            bar.close()
+        elapsed_t = time.perf_counter() - start_t
+        with open(os.path.join(output_dir, "train_timing.txt"), "w") as f:
+            f.writelines(f"{elapsed_t} s")
+
+    if args.save_snapshot:
+        print("Saving snapshot ", args.save_snapshot)
+        testbed.save_snapshot(args.save_snapshot, False)
+
+    if args.test_transforms:
+        print("Evaluating test transforms from ", args.test_transforms)
+        assert args.load_snapshot or args.save_snapshot
+        output_dir = os.path.dirname(args.load_snapshot if args.load_snapshot else args.save_snapshot) or "."
+        image_dir = os.path.join(output_dir, "image")
+        os.makedirs(image_dir, exist_ok=True)
+        depth_dir = os.path.join(output_dir, "depth")
+        os.makedirs(depth_dir, exist_ok=True)
+
+        with open(args.test_transforms) as f:
+            test_transforms = json.load(f)
+        data_dir = os.path.dirname(args.test_transforms)
+
+        spp = 8
+        testbed.background_color = [0.0, 0.0, 0.0, 1.0]
+        testbed.rendering_buffer.fov_axis = 0
+        testbed.fov = test_transforms["camera_angle_x"]
+
+        rows = []
+        for i, frame in enumerate(test_transforms["frames"]):
+            p = frame["file_path"] + (".png" if not frame["file_path"].endswith(".png") else "")
+            ref_image = read_image(os.path.join(data_dir, p))
+            if testbed.color_space == "SRGB" and ref_image.shape[2] == 4:
+                # reproduce NeRF's srgb-space alpha blending (run.py:110-121)
+                ref_image[..., :3] = np.divide(
+                    ref_image[..., :3], ref_image[..., 3:4], out=np.zeros_like(ref_image[..., :3]), where=ref_image[..., 3:4] != 0
+                )
+                ref_image[..., :3] = linear_to_srgb(ref_image[..., :3])
+                ref_image[..., :3] *= ref_image[..., 3:4]
+                ref_image += (1.0 - ref_image[..., 3:4]) * np.asarray(testbed.background_color)
+                ref_image[..., :3] = np.where(
+                    ref_image[..., :3] > 0.04045, ((ref_image[..., :3] + 0.055) / 1.055) ** 2.4, ref_image[..., :3] / 12.92
+                )
+
+            testbed.set_nerf_camera_matrix(np.asarray(frame["transform_matrix"], np.float32)[:-1, :])
+
+            start_t = time.perf_counter()
+            image = testbed.render(ref_image.shape[1], ref_image.shape[0], spp, False)
+            elapsed_t = time.perf_counter() - start_t
+
+            testbed.rendering_buffer.render_mode = "Depth"
+            depth = testbed.render(ref_image.shape[1], ref_image.shape[0], spp, False)
+            testbed.rendering_buffer.render_mode = "Shade"
+
+            A = np.clip(linear_to_srgb(image[..., :3]), 0.0, 1.0)
+            R = np.clip(linear_to_srgb(ref_image[..., :3]), 0.0, 1.0)
+            psnr_v = mse2psnr(float(compute_error("MSE", A, R)[0]))
+            ssim_v = float(compute_error("SSIM", A, R)[0])
+            lpips_v = float(compute_error("LPIPS", A, R)[0])
+            rows.append((os.path.basename(p), psnr_v, ssim_v, lpips_v, elapsed_t))
+            write_image(os.path.join(image_dir, os.path.basename(p)), image[..., :3])
+            write_depth(os.path.join(depth_dir, os.path.basename(p).split(".")[0] + ".png"), depth[..., 0], 1.0 / 6.0)
+            print(f"  {p}: PSNR={psnr_v:.3f} SSIM={ssim_v:.3f} t={elapsed_t:.2f}s")
+
+        names, psnrs, ssims, lpipss, times = zip(*rows)
+        out_rows = list(rows) + [("mean", np.mean(psnrs), np.mean(ssims), np.nanmean(lpipss), np.mean(times))]
+        try:
+            import pandas as pd
+
+            pd.DataFrame(
+                {
+                    "": [r[0] for r in out_rows],
+                    "PSNR": [r[1] for r in out_rows],
+                    "SSIM": [r[2] for r in out_rows],
+                    "LPIPS": [r[3] for r in out_rows],
+                    "Time (s)": [r[4] for r in out_rows],
+                }
+            ).to_csv(os.path.join(output_dir, "eval_stat.csv"), index=False)
+        except ImportError:
+            with open(os.path.join(output_dir, "eval_stat.csv"), "w") as f:
+                f.write(",PSNR,SSIM,LPIPS,Time (s)\n")
+                for r in out_rows:
+                    f.write(",".join(str(v) for v in r) + "\n")
+        print(
+            f"PSNR={np.mean(psnrs):.3f} SSIM={np.mean(ssims):.3f} "
+            f"LPIPS(VGG)={np.nanmean(lpipss):.3f} FPS={1.0/np.mean(times):.2f}"
+        )
+
+
+if __name__ == "__main__":
+    main()

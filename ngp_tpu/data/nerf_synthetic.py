@@ -65,18 +65,30 @@ def load_nerf_synthetic(json_path, scale: float = 0.33, offset=(0.5, 0.5, 0.5)) 
         return p
 
     paths = [resolve(f["file_path"]) for f in frames]
-    with ThreadPoolExecutor(max_workers=16) as pool:
-        raw = list(pool.map(_decode_image, paths))
 
-    h, w = raw[0].shape[:2]
-    for r in raw:
-        if r.shape[:2] != (h, w):
-            raise ValueError("training images are not all the same size")
+    # fast path: native C++ loader (libpng + thread pool + fp16 convert)
+    images = None
+    if all(p.suffix == ".png" for p in paths):
+        from ngp_tpu.native import load_images_native, png_size_native
 
-    u8 = np.stack(raw).astype(np.float32) / 255.0  # (N, H, W, 4)
-    alpha = u8[..., 3:4]
-    lin = srgb_to_linear_np(u8[..., :3]) * alpha  # premultiply in linear space
-    images = np.concatenate([lin, alpha], axis=-1).astype(np.float16)
+        size = png_size_native(paths[0])
+        if size is not None:
+            w, h = size
+            images = load_images_native(paths, w, h)
+
+    if images is None:  # python fallback (PIL on a thread pool)
+        with ThreadPoolExecutor(max_workers=16) as pool:
+            raw = list(pool.map(_decode_image, paths))
+        h, w = raw[0].shape[:2]
+        for r in raw:
+            if r.shape[:2] != (h, w):
+                raise ValueError("training images are not all the same size")
+        u8 = np.stack(raw).astype(np.float32) / 255.0  # (N, H, W, 4)
+        alpha = u8[..., 3:4]
+        lin = srgb_to_linear_np(u8[..., :3]) * alpha  # premultiply in linear space
+        images = np.concatenate([lin, alpha], axis=-1).astype(np.float16)
+    else:
+        h, w = images.shape[1], images.shape[2]
 
     xforms_gl = np.stack([np.asarray(f["transform_matrix"], np.float32)[:3, :4] for f in frames])
     xforms = np.asarray(opengl_to_opencv(xforms_gl, scale, list(offset)))

@@ -1,0 +1,179 @@
+"""Data-parallel training over a TPU mesh — NEW capability, by design.
+
+The reference is strictly single-GPU (SURVEY.md §2.4: one stream, device 0
+hardcoded, no NCCL/MPI anywhere). This module adds the scaling layer the
+CUDA code never had, shaped per the scaling-book recipe:
+
+ * 1-D `jax.sharding.Mesh` over axis "data" (ICI within a slice; a 2-D
+   ("dcn", "data") mesh drops in for multi-slice later).
+ * Rays are the sharded axis: each chip generates and marches its own slice
+   of the global ray batch (per-chip fold_in RNG, global-consistent image
+   stride), keeps its own flat sample buffer, and computes local grads.
+ * Params, the optimizer state, and the 4 MB occupancy grid are replicated;
+   gradients are `psum`-ed over ICI inside `shard_map`; every chip then
+   applies the identical optax update (no optimizer-state divergence).
+ * Grid maintenance splats are merged with `pmax` (EMA-max is associative
+   over the max, so per-chip splat + pmax == the reference's global
+   atomicMax, occupancy_sampler.cu:131).
+
+Collectives per step: one psum over grads (~12.6 MB fp32) — rides ICI.
+"""
+
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax.sharding import Mesh, PartitionSpec as P
+from jax import shard_map
+
+from ngp_tpu.models.ngp import apply_density_activation, apply_rgb_activation
+from ngp_tpu.grid.occupancy import sample_grid_positions, splat_density_ema, update_occupancy
+from ngp_tpu.render.composite import train_loss
+from ngp_tpu.sampling.lattice import n_lattice_points
+from ngp_tpu.sampling.training import generate_training_batch
+from ngp_tpu.train.optimizer import create_optimizer, ema_update
+from ngp_tpu.train.trainer import TrainState, Trainer, compute_rgb_target
+from ngp_tpu.utils.color import srgb_to_linear
+
+
+def make_mesh(devices=None) -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    return Mesh(np.asarray(devices), axis_names=("data",))
+
+
+def make_dp_train_step(trainer: Trainer, mesh: Mesh, n_rays_global: int):
+    """Build the sharded train step. n_rays_global must divide by mesh size."""
+    cfg = trainer.config
+    scfg = cfg.sampler
+    model = trainer.model
+    aabb = trainer.aabb
+    tx = create_optimizer(cfg.optimizer)
+    n_lattice = n_lattice_points(scfg)
+    n_dev = mesh.devices.size
+    if n_rays_global % n_dev:
+        raise ValueError(f"n_rays_global={n_rays_global} not divisible by mesh size {n_dev}")
+    n_rays_local = n_rays_global // n_dev
+    capacity_local = max(trainer.sample_capacity // n_dev, 1024)
+
+    rep = P()  # replicated
+
+    def step_fn(state: TrainState, images, xforms, focal_length, n_rays_shift):
+        axis = jax.lax.axis_index("data")
+        rng, k_bg = jax.random.split(state.rng)
+        k_local = jax.random.fold_in(jax.random.fold_in(rng, 1), axis)
+
+        batch = generate_training_batch(
+            scfg,
+            aabb,
+            images,
+            xforms,
+            focal_length,
+            (0.5, 0.5),
+            state.grid.occupancy,
+            k_local,
+            n_rays_local,
+            n_rays_shift,
+            capacity_local,
+            n_lattice,
+            stride_denom=n_rays_global,
+            index_offset=axis * n_rays_local,
+        )
+
+        if cfg.render.train_with_random_bg_color:
+            bg_srgb = jax.random.uniform(k_bg, (3,))  # same key on all chips
+        else:
+            bg_srgb = jnp.asarray(trainer.background_color, jnp.float32)
+        bg_linear = srgb_to_linear(bg_srgb)
+        rgb_target, bg_composite = compute_rgb_target(
+            batch.rgba, bg_linear, trainer.color_space, cfg.render.train_in_linear_color
+        )
+
+        def loss_fn(params):
+            rgb_raw, sigma_raw = model.rgbsigma_raw(params, batch.pos, batch.dirs)
+            return train_loss(
+                rgb_raw,
+                sigma_raw,
+                batch.dt,
+                batch.ray_ids,
+                batch.valid,
+                batch.base,
+                batch.counts,
+                batch.ray_valid,
+                rgb_target,
+                bg_composite,
+                n_rays_denom=n_rays_global,
+                loss_type=cfg.loss,
+                transmittance_threshold=cfg.render.transmittance_threshold,
+                rgb_activation=trainer.rgb_activation,
+                density_activation=trainer.density_activation,
+                mean_density=state.grid.mean_density,
+                min_optical_thickness=scfg.min_optical_thickness,
+                apply_rgb_activation=apply_rgb_activation,
+                apply_density_activation=apply_density_activation,
+            )
+
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        grads = jax.lax.psum(grads, "data")  # all-reduce over ICI
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        ema_params = ema_update(state.ema_params, params, cfg.optimizer.ema_decay)
+
+        stats = {
+            "loss_sum": jax.lax.psum(jnp.sum(aux["per_ray_loss"]), "data"),
+            "measured_batch_size": jax.lax.psum(aux["measured_batch_size"], "data"),
+            "measured_batch_size_before_compaction": jax.lax.psum(batch.n_samples, "data"),
+        }
+        new_state = TrainState(
+            params=params,
+            ema_params=ema_params,
+            opt_state=opt_state,
+            grid=state.grid,
+            step=state.step + 1,
+            rng=jax.random.fold_in(rng, 0),
+        )
+        return new_state, stats
+
+    sharded = shard_map(
+        step_fn,
+        mesh=mesh,
+        in_specs=(rep, rep, rep, rep, rep),
+        out_specs=(rep, rep),
+        check_vma=False,
+    )
+    return jax.jit(sharded, donate_argnums=(0,))
+
+
+def make_dp_grid_update(trainer: Trainer, mesh: Mesh, n_uniform: int, n_nonuniform: int):
+    """Sharded occupancy maintenance: per-chip splats merged with pmax."""
+    cfg = trainer.config
+    scfg = cfg.sampler
+    model = trainer.model
+    aabb = trainer.aabb
+    n_dev = mesh.devices.size
+    nu, nn = n_uniform // n_dev, n_nonuniform // n_dev
+    rep = P()
+
+    def update_fn(state: TrainState):
+        axis = jax.lax.axis_index("data")
+        rng, k_grid = jax.random.split(state.rng)
+        k_local = jax.random.fold_in(k_grid, axis)
+        pos, idx = sample_grid_positions(scfg, state.grid.density, k_local, nu, nn, state.grid.step)
+        warped = aabb.relative_pos(pos)
+        raw = model.density_raw(state.params, warped)[:, 0]
+        dens = apply_density_activation(raw, trainer.density_activation)
+
+        # local scatter-max splat, then pmax across chips == global atomicMax
+        optical = dens * scfg.min_cone_stepsize
+        current = jnp.zeros_like(state.grid.density).at[idx].max(optical)
+        current = jax.lax.pmax(current, "data")
+        prev = state.grid.density
+        new_density = jnp.where(prev < 0.0, prev, jnp.maximum(prev * scfg.ema_decay, current))
+        grid = state.grid._replace(density=new_density, step=state.grid.step + 1)
+        grid = update_occupancy(scfg, grid)
+        return state._replace(grid=grid, rng=rng)
+
+    sharded = shard_map(update_fn, mesh=mesh, in_specs=(rep,), out_specs=rep, check_vma=False)
+    return jax.jit(sharded, donate_argnums=(0,))

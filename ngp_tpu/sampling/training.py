@@ -51,13 +51,19 @@ def generate_training_batch(
     n_rays_shift,
     capacity: int,
     n_lattice: int,
+    stride_denom: int = 0,
+    index_offset=0,
 ) -> TrainingBatch:
+    """`stride_denom`/`index_offset` let a data-parallel shard generate its
+    slice [index_offset, index_offset + n_rays) of a `stride_denom`-ray
+    global batch while keeping the reference's image-pick formula global."""
     n_images, h, w = images.shape[0], images.shape[1], images.shape[2]
     k_pixel, k_jitter = jax.random.split(key)
+    denom = stride_denom or n_rays
 
     # image pick: uint32 stride arithmetic, parity with cu:348
-    i = jnp.arange(n_rays, dtype=jnp.uint32)
-    img = (((jnp.uint32(n_rays_shift) + i) * jnp.uint32(n_images)) // jnp.uint32(n_rays)) % jnp.uint32(n_images)
+    i = jnp.arange(n_rays, dtype=jnp.uint32) + jnp.uint32(index_offset)
+    img = (((jnp.uint32(n_rays_shift) + i) * jnp.uint32(n_images)) // jnp.uint32(denom)) % jnp.uint32(n_images)
     img = img.astype(jnp.int32)
 
     xy = jax.random.uniform(k_pixel, (n_rays, 2))

@@ -1,0 +1,154 @@
+"""End-to-end: train the tiny NGP on the procedural scene to a PSNR floor,
+render, snapshot-roundtrip, and run the data-parallel step on the fake mesh.
+"""
+
+import json
+import os
+import tempfile
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ngp_tpu import metrics
+from ngp_tpu.data.synthetic import render_ground_truth, write_synthetic_dataset
+from ngp_tpu.testbed import Testbed
+from ngp_tpu.utils.color import linear_to_srgb
+
+TINY = {
+    "samlper": {"aabb_scale": 1, "grid_size": 32, "maximum_marching_steps": 256},
+    "network": {
+        "encoding": {"n_levels": 8, "log2_hashmap_size": 14, "base_resolution": 16, "desired_resolution": 256},
+        "network": {"n_neurons": 64, "n_hidden_layers": 1},
+        "dir_encoding": {"degree": 4},
+        "rgb_network": {"n_neurons": 64, "n_hidden_layers": 2},
+    },
+}
+
+
+@pytest.fixture(scope="module")
+def scene(tmp_path_factory):
+    td = tmp_path_factory.mktemp("scene")
+    train_json, test_json = write_synthetic_dataset(td, n_train=10, n_test=2, width=64, height=64)
+    return train_json, test_json
+
+
+@pytest.fixture(scope="module")
+def trained_testbed(scene):
+    train_json, _ = scene
+    tb = Testbed()
+    tb.load_model_config_dict(TINY)
+    tb._trainer.sample_capacity = 1 << 15
+    tb.load_training_data(train_json)
+    while tb.training_buffer.i_step < 192:
+        tb.train(16, 1 << 14)
+    return tb
+
+
+def test_training_reaches_psnr_floor(trained_testbed, scene):
+    tb = trained_testbed
+    _, test_json = scene
+    assert tb.training_buffer.loss < 0.01
+    doc = json.loads(open(test_json).read())
+    tb.rendering_buffer.fov_axis = 0
+    tb.fov = doc["camera_angle_x"]
+    frame = doc["frames"][0]
+    pose = np.asarray(frame["transform_matrix"], np.float32)[:3, :4]
+    ref = render_ground_truth(pose, 64, 64, doc["camera_angle_x"])
+    tb.set_nerf_camera_matrix(pose)
+    img = tb.render(64, 64, spp=2, to_srgb=False)
+    assert img.shape == (64, 64, 4)
+    A = np.clip(np.asarray(linear_to_srgb(img[..., :3])), 0, 1)
+    R = np.clip(np.asarray(linear_to_srgb(ref[..., :3])), 0, 1)
+    p = metrics.psnr(A, R)
+    assert p > 24.0, f"PSNR {p} below floor"
+    assert metrics.ssim(A, R) > 0.75
+
+
+def test_render_modes(trained_testbed, scene):
+    tb = trained_testbed
+    _, test_json = scene
+    doc = json.loads(open(test_json).read())
+    pose = np.asarray(doc["frames"][0]["transform_matrix"], np.float32)[:3, :4]
+    tb.set_nerf_camera_matrix(pose)
+    for mode in ("Depth", "Distance", "AO", "Stepsize", "Cost"):
+        tb.rendering_buffer.render_mode = mode
+        img = tb.render(32, 32, spp=1, to_srgb=False)
+        assert np.isfinite(img).all(), mode
+    tb.rendering_buffer.render_mode = "Shade"
+
+
+def test_snapshot_roundtrip_exact_render(trained_testbed, scene, tmp_path):
+    tb = trained_testbed
+    _, test_json = scene
+    doc = json.loads(open(test_json).read())
+    pose = np.asarray(doc["frames"][1]["transform_matrix"], np.float32)[:3, :4]
+
+    snap = tmp_path / "ckpt.msgpack"
+    tb.save_snapshot(str(snap), serialize_optimizer=True)
+
+    tb2 = Testbed()
+    tb2.load_snapshot(str(snap))
+    assert tb2.scene_scale == tb.scene_scale
+
+    for t in (tb, tb2):
+        t.rendering_buffer.fov_axis = 0
+        t.fov = doc["camera_angle_x"]
+        t.set_nerf_camera_matrix(pose)
+    img1 = tb.render(48, 48, spp=2, to_srgb=True)
+    img2 = tb2.render(48, 48, spp=2, to_srgb=True)
+    np.testing.assert_array_equal(img1, img2)
+
+
+def test_loss_decreases_from_start(scene):
+    train_json, _ = scene
+    tb = Testbed()
+    tb.load_model_config_dict(TINY)
+    tb._trainer.sample_capacity = 1 << 15
+    tb.load_training_data(train_json)
+    tb.train(16, 1 << 14)
+    first = tb.training_buffer.loss
+    for _ in range(5):
+        tb.train(16, 1 << 14)
+    assert tb.training_buffer.loss < first
+
+
+def test_dp_train_step_runs_on_fake_mesh(scene):
+    from ngp_tpu.parallel.mesh import make_dp_grid_update, make_dp_train_step, make_mesh
+    from ngp_tpu.train.trainer import Trainer
+    from ngp_tpu.utils.config import NGPConfig
+    from ngp_tpu.data.nerf_synthetic import load_nerf_synthetic
+    from ngp_tpu.grid.occupancy import mark_untrained_grid
+
+    assert len(jax.devices()) == 8, "conftest must provide 8 fake devices"
+    train_json, _ = scene
+    ds = load_nerf_synthetic(train_json)
+
+    cfg = NGPConfig.from_json(
+        {
+            "samlper": {"grid_size": 16, "maximum_marching_steps": 128},
+            "network": {
+                "encoding": {"n_levels": 4, "log2_hashmap_size": 12, "base_resolution": 8, "desired_resolution": 64},
+                "network": {"n_neurons": 64, "n_hidden_layers": 1},
+                "dir_encoding": {"degree": 4},
+                "rgb_network": {"n_neurons": 64, "n_hidden_layers": 2},
+            },
+        }
+    )
+    trainer = Trainer.create(cfg)
+    trainer.sample_capacity = 8192
+    state = trainer.init_state(0)
+    density = mark_untrained_grid(cfg.sampler, ds.resolution, ds.focal_length, ds.xforms)
+    state = state._replace(grid=state.grid._replace(density=density))
+
+    mesh = make_mesh()
+    grid_up = make_dp_grid_update(trainer, mesh, cfg.sampler.n_total_elements, 0)
+    state = grid_up(state)
+    step = make_dp_train_step(trainer, mesh, n_rays_global=1024)
+    losses = []
+    for i in range(4):
+        state, stats = step(state, ds.images, ds.xforms, jnp.asarray(ds.focal_length), jnp.uint32(i * 1024))
+        losses.append(float(stats["loss_sum"]) / 1024)
+    assert np.isfinite(losses).all()
+    assert int(stats["measured_batch_size"]) > 0

@@ -1,0 +1,150 @@
+"""Occupancy-grid subsystem tests vs analytic/brute-force values."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ngp_tpu.grid.occupancy import (
+    GridState,
+    cell_centers,
+    create_grid_state,
+    mark_untrained_grid,
+    mip_from_dt,
+    mip_from_pos,
+    occupancy_lookup,
+    sample_grid_positions,
+    splat_density_ema,
+    update_occupancy,
+)
+from ngp_tpu.utils.config import SamplerConfig
+
+
+def _cfg(**kw):
+    return SamplerConfig(**{"grid_size": 16, **kw})
+
+
+def test_mip_from_pos_analytic():
+    # |pos-0.5|_inf in (0.25, 0.5] -> frexp exponent 0 -> mip 1 (clamped)
+    n_casc = 3
+    cases = [
+        ([0.5, 0.5, 0.5], 1),  # maxval=0 -> frexp exp 0 -> mip 1
+        ([0.6, 0.5, 0.5], 0),  # 0.1 -> exp -3 -> mip 0
+        ([0.9, 0.5, 0.5], 1),  # 0.4 -> exp -1 -> mip 0? frexp(0.4)=0.8*2^-1 -> exp -1 -> mip 0
+        ([1.1, 0.5, 0.5], 2),  # 0.6 -> exp 0 -> mip 1? frexp(0.6)=0.6*2^0 -> exp 0 -> mip 1
+    ]
+    # recompute expectations precisely
+    def expect(pos):
+        maxval = max(abs(p - 0.5) for p in pos)
+        if maxval == 0:
+            e = 0
+        else:
+            e = int(np.ceil(np.log2(maxval))) if 2 ** int(np.ceil(np.log2(maxval))) > maxval or maxval == 2 ** int(np.ceil(np.log2(maxval))) else 0
+            # frexp: maxval = f * 2^e, f in [0.5, 1)
+            _, e = np.frexp(maxval)
+        return int(np.clip(e + 1, 0, n_casc - 1))
+
+    for pos, _ in cases:
+        got = int(mip_from_pos(jnp.asarray([pos], jnp.float32), n_casc)[0])
+        assert got == expect(pos), (pos, got, expect(pos))
+
+
+def test_mip_from_dt_bumps_mip():
+    n_casc, g = 4, 128
+    pos = jnp.asarray([[0.52, 0.5, 0.5]], jnp.float32)  # mip 0 by position
+    small_dt = jnp.asarray([1.0 / (4 * g)], jnp.float32)  # dt*2g = 0.5 < 1 -> keep
+    assert int(mip_from_dt(small_dt, pos, g, n_casc)[0]) == 0
+    big_dt = jnp.asarray([3.0 / g], jnp.float32)  # dt*2g = 6 -> frexp exp 3 -> mip 3
+    assert int(mip_from_dt(big_dt, pos, g, n_casc)[0]) == 3
+
+
+def test_splat_ema_semantics():
+    cfg = _cfg(grid_size=8, ema_decay=0.5)
+    state = create_grid_state(cfg)
+    # mark cell 0 untrained
+    density = state.density.at[0].set(-1.0).at[1].set(0.4)
+    state = state._replace(density=density)
+    idx = jnp.asarray([0, 1, 2], jnp.int32)
+    dens = jnp.asarray([5.0, 5.0, 5.0]) / cfg.min_cone_stepsize  # optical thickness 5
+    state = splat_density_ema(cfg, state, idx, dens)
+    d = np.asarray(state.density)
+    assert d[0] == -1.0  # untrained stays untrained
+    assert np.isclose(d[1], 5.0)  # max(0.4*0.5, 5.0)
+    assert np.isclose(d[2], 5.0)
+    # second update with no splat: decay
+    state = splat_density_ema(cfg, state, jnp.asarray([3], jnp.int32), jnp.asarray([0.0]))
+    assert np.isclose(np.asarray(state.density)[1], 2.5)
+
+
+def test_update_occupancy_threshold_and_maxpool():
+    cfg = _cfg(grid_size=8, min_optical_thickness=0.01)
+    state = create_grid_state(cfg)
+    g = cfg.grid_size
+    # occupy exactly cell (1,2,3) of cascade 0 with high density
+    lin = 1 + 2 * g + 3 * g * g
+    density = state.density.at[lin].set(1.0)
+    state = state._replace(density=density)
+    state = update_occupancy(cfg, state)
+    occ = np.asarray(state.occupancy)
+    assert occ[0].sum() == 1 and occ[0, 1, 2, 3]
+    # cascade 1: the 2x2x2 block (0,1,1) maps to (0,1,1) + g/4
+    q = g // 4
+    assert occ[1].sum() == 1 and occ[1, 0 + q, 1 + q, 1 + q]
+    # mean threshold: with mean tiny, thresh=min(0.01, mean)=mean -> cells >mean occupied
+    assert float(state.mean_density) > 0
+
+
+def test_occupancy_lookup_roundtrip():
+    cfg = _cfg(grid_size=8)
+    state = create_grid_state(cfg)
+    occ = np.zeros((cfg.n_cascades, 8, 8, 8), bool)
+    occ[0, 2, 3, 4] = True
+    pos = jnp.asarray([[(2.5) / 8, 3.5 / 8, 4.5 / 8]], jnp.float32)
+    got = occupancy_lookup(cfg, jnp.asarray(occ), pos, jnp.asarray([0]))
+    assert bool(got[0])
+    got = occupancy_lookup(cfg, jnp.asarray(occ), pos + 1.0 / 8, jnp.asarray([0]))
+    assert not bool(got[0])
+
+
+def test_cell_centers_linear_order():
+    cfg = _cfg(grid_size=4)
+    pos = np.asarray(cell_centers(cfg, 0))
+    # linear index 1 = x=1,y=0,z=0
+    np.testing.assert_allclose(pos[1], [1.5 / 4, 0.5 / 4, 0.5 / 4])
+    np.testing.assert_allclose(pos[4], [0.5 / 4, 1.5 / 4, 0.5 / 4])
+    np.testing.assert_allclose(pos[16], [0.5 / 4, 0.5 / 4, 1.5 / 4])
+    # cascade 1 doubles the cube around 0.5
+    pos1 = np.asarray(cell_centers(cfg, 1))
+    np.testing.assert_allclose(pos1[0], [(0.5 / 4 - 0.5) * 2 + 0.5] * 3)
+
+
+def test_mark_untrained_grid_camera_facing():
+    cfg = _cfg(grid_size=8)
+    # one camera at z=-2 looking toward +z sees the unit cube
+    xf = np.zeros((1, 3, 4), np.float32)
+    xf[0, :, :3] = np.eye(3)
+    xf[0, 2, 3] = -2.0
+    out = np.asarray(mark_untrained_grid(cfg, (64, 64), (64.0, 64.0), jnp.asarray(xf)))
+    g3 = cfg.n_grid_elements
+    # cells in front of the camera (all of cascade 0 cube) are mostly visible
+    assert (out[:g3] == 0).mean() > 0.5
+    # a camera looking away sees nothing of the cube
+    xf2 = xf.copy()
+    xf2[0, :, :3] = np.diag([1.0, 1.0, -1.0])  # fwd = -z, cube is at +z
+    xf2[0, 2, 3] = -2.0
+    out2 = np.asarray(mark_untrained_grid(cfg, (64, 64), (64.0, 64.0), jnp.asarray(xf2)))
+    assert (out2[:g3] == -1.0).all()
+
+
+def test_sample_grid_positions_prefers_dense():
+    cfg = _cfg(grid_size=8)
+    density = jnp.zeros((cfg.n_total_elements,))
+    density = density.at[100].set(1.0)  # the only cell above threshold
+    pos, idx = sample_grid_positions(cfg, density, jax.random.PRNGKey(0), 0, 64, step=0)
+    # nonuniform pass (thresh=0.01): every sample that found a passing
+    # candidate has idx 100; candidates not hitting it keep the last try
+    hits = (np.asarray(idx) == 100).mean()
+    assert hits > 0.05
+    assert pos.shape == (64, 3)
+    # uniform pass accepts any non-negative cell
+    pos_u, idx_u = sample_grid_positions(cfg, density, jax.random.PRNGKey(1), 64, 0, step=0)
+    assert ((np.asarray(idx_u) >= 0) & (np.asarray(idx_u) < cfg.n_total_elements)).all()

@@ -1,0 +1,147 @@
+"""t-lattice marching + training batch generation vs brute-force numpy."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ngp_tpu.grid.occupancy import mip_from_dt as jmip_from_dt
+from ngp_tpu.sampling.lattice import count_samples, n_lattice_points, scatter_samples
+from ngp_tpu.sampling.training import generate_training_batch
+from ngp_tpu.utils.aabb import AABB
+from ngp_tpu.utils.config import SamplerConfig
+
+
+def _np_march(cfg, occ, o, d, startt, n_lattice):
+    """Brute-force lattice march for one ray: returns occupied (pos, t) list."""
+    dt = cfg.min_cone_stepsize
+    g = cfg.grid_size
+    out = []
+    for i in range(n_lattice):
+        t = startt + i * dt
+        pos = o + t * d
+        # reference semantics: the march loop ends at the first point outside
+        # the box (startt is inside, so in-box points form a prefix)
+        if not np.all((pos >= 0) & (pos <= 1)):
+            break
+        # mip
+        maxval = np.max(np.abs(pos - 0.5))
+        _, e = np.frexp(maxval) if maxval > 0 else (0.5, 0)
+        mip = int(np.clip(e + 1, 0, cfg.n_cascades - 1))
+        dscaled = dt * 2 * g
+        if dscaled >= 1.0:
+            _, e2 = np.frexp(dscaled)
+            mip = max(mip, int(np.clip(e2, 0, cfg.n_cascades - 1)))
+        # occupancy
+        p = (pos - 0.5) * (2.0**-mip) + 0.5
+        cell = np.clip(np.floor(p * g).astype(int), 0, g - 1)
+        if occ[mip, cell[0], cell[1], cell[2]]:
+            out.append((pos, t))
+            if len(out) >= cfg.maximum_marching_steps:
+                break
+    return out
+
+
+def test_lattice_march_matches_bruteforce():
+    cfg = SamplerConfig(grid_size=16, maximum_marching_steps=64)
+    aabb = AABB.scene(1)
+    rng = np.random.default_rng(11)
+    occ = rng.uniform(size=(cfg.n_cascades, 16, 16, 16)) < 0.4
+    n_lat = n_lattice_points(cfg)
+
+    R = 32
+    o = rng.uniform(-0.5, 0.0, (R, 3)).astype(np.float32)
+    d = rng.normal(size=(R, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    d = np.abs(d)  # point toward the box
+    startt = rng.uniform(0.3, 0.6, (R,)).astype(np.float32)
+
+    counts = np.asarray(
+        count_samples(cfg, aabb, jnp.asarray(occ), jnp.asarray(o), jnp.asarray(d), jnp.asarray(startt), n_lat)
+    )
+    expected = [_np_march(cfg, occ, o[r], d[r], startt[r], n_lat) for r in range(R)]
+    np.testing.assert_array_equal(counts, [len(e) for e in expected])
+
+    base = np.concatenate([[0], np.cumsum(counts)[:-1]]).astype(np.int32)
+    cap = int(counts.sum() + 8)
+    pos_w, dir_w, dts, ray_ids, valid = scatter_samples(
+        cfg,
+        aabb,
+        jnp.asarray(occ),
+        jnp.asarray(o),
+        jnp.asarray(d),
+        jnp.asarray(startt),
+        jnp.asarray(base),
+        jnp.asarray(counts > 0),
+        n_lat,
+        cap,
+    )
+    pos_w, ray_ids, valid = np.asarray(pos_w), np.asarray(ray_ids), np.asarray(valid)
+    for r in range(R):
+        for j, (p, t) in enumerate(expected[r]):
+            f = base[r] + j
+            assert valid[f] and ray_ids[f] == r
+            np.testing.assert_allclose(pos_w[f], p, atol=1e-5)  # aabb_scale=1: warp == identity
+    assert valid.sum() == counts.sum()
+    np.testing.assert_allclose(np.asarray(dir_w)[valid][:, 0], ((d[ray_ids] + 1) * 0.5)[valid][:, 0], atol=1e-6)
+
+
+def test_generate_training_batch_shapes_and_consistency():
+    cfg = SamplerConfig(grid_size=16, maximum_marching_steps=64, near_distance=0.05)
+    aabb = AABB.scene(1)
+    rng = np.random.default_rng(3)
+    occ = jnp.ones((cfg.n_cascades, 16, 16, 16), bool)
+
+    n_img, h, w = 3, 16, 16
+    images = jnp.asarray(rng.uniform(0, 1, (n_img, h, w, 4)), jnp.float16)
+    xf = np.zeros((n_img, 3, 4), np.float32)
+    for i in range(n_img):
+        xf[i, :, :3] = np.eye(3)
+        xf[i, :, 3] = [0.5, 0.5, -1.5]  # looking +z into the box
+    n_rays, cap = 64, 4096
+    batch = generate_training_batch(
+        cfg,
+        aabb,
+        images,
+        jnp.asarray(xf),
+        jnp.asarray([20.0, 20.0]),
+        (0.5, 0.5),
+        occ,
+        jax.random.PRNGKey(0),
+        n_rays,
+        jnp.uint32(0),
+        cap,
+        n_lattice_points(cfg),
+    )
+    counts = np.asarray(batch.counts)
+    valid = np.asarray(batch.valid)
+    ray_ids = np.asarray(batch.ray_ids)
+    base = np.asarray(batch.base)
+    assert (counts > 0).any()
+    assert valid.sum() == counts.sum() == int(batch.n_samples)
+    # flat layout: ray r's samples at [base_r, base_r + count_r), contiguous
+    for r in np.flatnonzero(np.asarray(batch.ray_valid))[:8]:
+        seg = slice(base[r], base[r] + counts[r])
+        assert valid[seg].all() and (ray_ids[seg] == r).all()
+    # image stride pick: ray 0 -> img 0, last ray -> last img
+    # rgba targets are finite premultiplied values in [0,1]
+    rgba = np.asarray(batch.rgba)
+    assert np.isfinite(rgba).all() and rgba.min() >= 0 and rgba.max() <= 1.0 + 1e-3
+
+
+def test_overflow_rays_dropped():
+    cfg = SamplerConfig(grid_size=16, maximum_marching_steps=64)
+    aabb = AABB.scene(1)
+    occ = jnp.ones((cfg.n_cascades, 16, 16, 16), bool)
+    o = jnp.asarray(np.tile([[0.5, 0.5, -0.5]], (8, 1)), jnp.float32)
+    d = jnp.asarray(np.tile([[0.0, 0.0, 1.0]], (8, 1)), jnp.float32)
+    startt = jnp.full((8,), 0.5, jnp.float32)
+    n_lat = n_lattice_points(cfg)
+    counts = count_samples(cfg, aabb, occ, o, d, startt, n_lat)
+    c = int(counts[0])
+    assert c > 0
+    cap = int(2.5 * c)  # room for 2 rays only
+    base = jnp.cumsum(counts) - counts
+    ray_valid = (counts > 0) & (base + counts <= cap)
+    assert int(ray_valid.sum()) == 2
+    _, _, _, _, valid = scatter_samples(cfg, aabb, occ, o, d, startt, base, ray_valid, n_lat, cap)
+    assert int(valid.sum()) == 2 * c
