@@ -18,7 +18,35 @@ from pathlib import Path
 
 import numpy as np
 
-from ngp_tpu.utils.camera import opengl_to_opencv, pixel_to_rays
+# NOTE: this module is deliberately numpy-only. Dispatching tiny un-jitted
+# jnp ops from the ground-truth render loop goes through the (possibly
+# remote) accelerator one op at a time and is pathologically slow; the
+# camera math below mirrors ngp_tpu.utils.camera exactly, in numpy.
+
+
+def _opengl_to_opencv_np(pose, scale, offset):
+    """numpy twin of utils.camera.opengl_to_opencv (same math, tested equal)."""
+    pose = np.asarray(pose, np.float32)
+    rot = pose[..., :3] * np.array([1.0, -1.0, -1.0], np.float32)
+    t = pose[..., 3] * scale + np.asarray(offset, np.float32)
+    out = np.concatenate([rot, t[..., None]], axis=-1)
+    return out[..., [1, 2, 0], :]
+
+
+def _pixel_to_rays_np(xy, resolution, focal_length, principal_point, cam):
+    xy = np.asarray(xy, np.float32)
+    d_cam = np.stack(
+        [
+            (xy[..., 0] - principal_point[0]) * resolution[0] / focal_length[0],
+            (xy[..., 1] - principal_point[1]) * resolution[1] / focal_length[1],
+            np.ones_like(xy[..., 0]),
+        ],
+        axis=-1,
+    )
+    d = d_cam @ cam[:, :3].T
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    o = np.broadcast_to(cam[:, 3], d.shape)
+    return o, d
 
 
 # --------------------------------------------------------------------- scene
@@ -75,13 +103,12 @@ def render_ground_truth(pose_gl, width, height, camera_angle_x, scale=0.33, offs
     Rays are generated through the SAME camera pipeline the framework uses
     (pose conversion + pixel_to_rays) so the dataset is self-consistent.
     """
-    xform = np.asarray(opengl_to_opencv(pose_gl, scale, list(offset)))
+    xform = _opengl_to_opencv_np(pose_gl, scale, offset)
     fl = 0.5 * width / np.tan(0.5 * camera_angle_x)
     xs = (np.arange(width) + 0.5) / width
     ys = (np.arange(height) + 0.5) / height
     xy = np.stack(np.meshgrid(xs, ys, indexing="xy"), axis=-1).reshape(-1, 2)
-    o, d = pixel_to_rays(xy, (width, height), (fl, fl), (0.5, 0.5), xform)
-    o, d = np.asarray(o), np.asarray(d)
+    o, d = _pixel_to_rays_np(xy, (width, height), (fl, fl), (0.5, 0.5), xform)
 
     # march [t0, t1] through the unit cube
     inv_d = 1.0 / np.where(np.abs(d) < 1e-9, 1e-9, d)

@@ -11,6 +11,9 @@ The CUDA surface object disappears: the "surface" is just the returned
 (H, W, 4) array.
 """
 
+import functools
+
+import jax
 import jax.numpy as jnp
 
 from ngp_tpu.utils.color import linear_to_srgb, srgb_to_linear
@@ -19,7 +22,8 @@ TONEMAP_CURVES = ("Identity", "ACES", "Hable", "Reinhard")
 COLOR_SPACES = ("Linear", "SRGB", "VisPosNeg")
 
 
-def accumulate(accum, frame, spp: int, color_space: str = "Linear"):
+@functools.partial(jax.jit, static_argnames=("color_space",))
+def accumulate(accum, frame, spp, color_space: str = "Linear"):
     """Running average: accum_{n+1} = (accum*n + frame)/(n+1). spp = frames so far."""
     color_space = color_space.lower()
     rgb, a = frame[..., :3], frame[..., 3:4]
@@ -61,6 +65,7 @@ def tonemap_curve(x, curve: str = "Identity"):
     return (k0 * sq + k1 * x + k2) / (k3 * sq + k4 * x + k5)
 
 
+@functools.partial(jax.jit, static_argnames=("exposure", "color_space", "output_color_space", "curve"))
 def tonemap(accum, exposure: float, background_color, color_space: str, output_color_space: str, curve: str = "Identity"):
     """accum (H,W,4) -> final (H,W,4). background_color is 4-vec in sRGB."""
     bg = jnp.asarray(background_color, jnp.float32)

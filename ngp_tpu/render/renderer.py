@@ -107,6 +107,7 @@ def render_tile(
     train_in_linear_color: bool = False,
     rgb_activation: str = "Logistic",
     density_activation: str = "Exponential",
+    envmap=None,
 ):
     """Render one tile of rays -> (R, 4) framebuffer contribution (premult linear)."""
     scfg = config.sampler
@@ -145,7 +146,19 @@ def render_tile(
         sigma = apply_density_activation(sigma_raw, density_activation).reshape(R, _ROUND)
         rgb = apply_rgb_activation(rgb_raw, rgb_activation).reshape(R, _ROUND, 3)
 
-        if render_mode == "Depth":
+        if render_mode == "Normals":
+            # d(sigma)/d(pos): the normal points down the density gradient
+            # (volume_rendering_kernel cu:260-265; the reference gets
+            # d(raw)/d(input) from input_gradient() and multiplies by the
+            # activation derivative — jax.grad of sigma is the same product)
+            def sigma_sum(p):
+                raw = model.density_raw(params, p)[..., 0]
+                return jnp.sum(apply_density_activation(raw, density_activation))
+
+            grad_pos = jax.grad(sigma_sum)(pos_w)
+            n = -grad_pos / jnp.maximum(jnp.linalg.norm(grad_pos, axis=-1, keepdims=True), 1e-12)
+            rgb = n.reshape(R, _ROUND, 3)
+        elif render_mode == "Depth":
             z = jnp.einsum("rsc,c->rs", pos - camera_origin, camera_fwd) * depth_scale
             rgb = jnp.repeat(z[..., None], 3, axis=-1)
         elif render_mode == "Distance":
@@ -194,12 +207,24 @@ def render_tile(
     if render_mode == "Cost":
         col = processed.astype(jnp.float32) / 128.0
         out = jnp.stack([col, col, col, jnp.ones_like(col)], axis=-1)
+    elif render_mode == "Normals":
+        # shade_kernel (testbed.cu:463-465): remap the mean normal to [0,1]
+        n = rgb_acc / jnp.maximum(jnp.linalg.norm(rgb_acc, axis=-1, keepdims=True), 1e-12)
+        out = jnp.concatenate([(0.5 * n + 0.5) * opac[:, None], opac[:, None]], axis=-1)
     else:
         rgb_out = rgb_acc
         if render_mode == "Shade" and not train_in_linear_color:
             rgb_out = srgb_to_linear(rgb_acc)  # accumulate in linear
         out = jnp.concatenate([rgb_out, opac[:, None]], axis=-1)
-    return jnp.where(hit[:, None], out, 0.0)
+    out = jnp.where(hit[:, None], out, 0.0)
+    if envmap is not None:
+        # framebuffer pre-filled with the envmap, hit rays blended over it
+        # (init_rays_with_payload_kernel_nerf cu:500-502 + shade_kernel:476)
+        from ngp_tpu.render.envmap import read_envmap
+
+        env = read_envmap(envmap, d)
+        out = out + env * (1.0 - out[..., 3:4])
+    return out
 
 
 @dataclass
@@ -214,10 +239,8 @@ class Renderer:
     rgb_activation: str = "Logistic"
     density_activation: str = "Exponential"
 
-    def render_frame(self, params, occupancy, camera_matrix, resolution, focal_length, principal_point, spp, render_mode="Shade", scene_scale=1.0):
+    def render_frame(self, params, occupancy, camera_matrix, resolution, focal_length, principal_point, spp, render_mode="Shade", scene_scale=1.0, envmap=None):
         """One frame at one spp index -> (H, W, 4) premultiplied linear."""
-        if render_mode == "Normals":
-            raise NotImplementedError("Normals render mode needs input gradients (not yet implemented)")
         w, h = resolution
         snap = self.config.sampler.snap_to_pixel_centers_in_rendering
         off = np.asarray(ld_random_pixel_offset(0 if snap else int(spp)))
@@ -263,6 +286,7 @@ class Renderer:
                 train_in_linear_color=self.train_in_linear_color,
                 rgb_activation=self.rgb_activation,
                 density_activation=self.density_activation,
+                envmap=envmap,
             )
             outs.append(res[: e - s])
         frame = jnp.concatenate(outs, axis=0).reshape(h, w, 4)

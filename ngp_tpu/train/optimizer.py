@@ -60,6 +60,21 @@ def create_optimizer(cfg: OptimizerConfig):
     )
 
 
+def create_optimizer_flat(cfg: OptimizerConfig, l2_all: bool = True):
+    """Optimizer over a single-array param tree (used by the envmap trainer,
+    testbed.cu:83-90)."""
+    adam = cfg.adam
+
+    def schedule(step):
+        return adam.learning_rate * lr_factor(step, cfg)
+
+    return optax.chain(
+        optax.add_decayed_weights(adam.l2_reg if l2_all else 0.0),
+        optax.scale_by_adam(b1=adam.beta1, b2=adam.beta2, eps=adam.epsilon, eps_root=0.0),
+        optax.scale_by_learning_rate(schedule),
+    )
+
+
 def ema_update(ema_params, params, decay: float):
     """tcnn EmaOptimizer: ema <- decay * ema + (1-decay) * params."""
     return jax.tree_util.tree_map(lambda e, p: decay * e + (1.0 - decay) * p, ema_params, params)

@@ -52,6 +52,7 @@ class TrainState(NamedTuple):
     grid: GridState
     step: jnp.ndarray  # () int32 optimizer step (i_step)
     rng: jnp.ndarray  # jax PRNG key
+    envmap: Any = None  # EnvmapState when config.envmap.train
 
 
 def compute_rgb_target(rgba, bg_linear, color_space: str, train_in_linear_color: bool):
@@ -106,6 +107,11 @@ class Trainer:
         tx = create_optimizer(self.config.optimizer)
         from ngp_tpu.grid.occupancy import create_grid_state
 
+        envmap = None
+        if self.config.envmap.train:
+            from ngp_tpu.render.envmap import create_envmap_state
+
+            envmap = create_envmap_state(self.config.envmap)
         return TrainState(
             params=params,
             ema_params=jax.tree_util.tree_map(jnp.copy, params),
@@ -113,6 +119,7 @@ class Trainer:
             grid=create_grid_state(self.config.sampler),
             step=jnp.zeros((), jnp.int32),
             rng=k_rng,
+            envmap=envmap,
         )
 
     # ----------------------------------------------------------- train step
@@ -149,11 +156,22 @@ class Trainer:
             else:
                 bg_srgb = jnp.asarray(self.background_color, jnp.float32)
             bg_linear = srgb_to_linear(bg_srgb)
-            rgb_target, bg_composite = compute_rgb_target(
-                batch.rgba, bg_linear, self.color_space, cfg.render.train_in_linear_color
-            )
+            train_envmap = cfg.envmap.train and state.envmap is not None
 
-            def loss_fn(params):
+            def loss_fn(params, envmap_params):
+                if train_envmap:
+                    # composite the plain background behind the envmap
+                    # (ray_marcher.cu:96-102); targets never carry gradients
+                    from ngp_tpu.render.envmap import read_envmap
+
+                    env = read_envmap(envmap_params, batch.rays_d)
+                    bg_per_ray = env[:, :3] + bg_linear * (1.0 - env[:, 3:4])
+                else:
+                    bg_per_ray = bg_linear
+                rgb_target, bg_composite = compute_rgb_target(
+                    batch.rgba, bg_per_ray, self.color_space, cfg.render.train_in_linear_color
+                )
+                rgb_target = jax.lax.stop_gradient(rgb_target)
                 rgb_raw, sigma_raw = model.rgbsigma_raw(params, batch.pos, batch.dirs)
                 return train_loss(
                     rgb_raw,
@@ -177,10 +195,26 @@ class Trainer:
                     apply_density_activation=apply_density_activation,
                 )
 
-            (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+            env_params_in = state.envmap.params if train_envmap else jnp.zeros((1, 1, 4))
+            (loss, aux), (grads, env_grads) = jax.value_and_grad(loss_fn, argnums=(0, 1), has_aux=True)(
+                state.params, env_params_in
+            )
             updates, opt_state = tx.update(grads, state.opt_state, state.params)
             params = optax.apply_updates(state.params, updates)
             ema_params = ema_update(state.ema_params, params, cfg.optimizer.ema_decay)
+
+            envmap_state = state.envmap
+            if train_envmap:
+                # divergence note: the reference accumulates envmap grads over
+                # the 16-step train() call and steps its trainer once
+                # (testbed.cu:296-298); we step every optimizer step.
+                from ngp_tpu.render.envmap import envmap_optimizer
+
+                env_tx = envmap_optimizer(cfg.envmap)
+                env_updates, env_opt = env_tx.update(env_grads, envmap_state.opt_state, envmap_state.params)
+                env_params = optax.apply_updates(envmap_state.params, env_updates)
+                env_ema = ema_update(envmap_state.ema_params, env_params, cfg.envmap.optimizer.ema_decay)
+                envmap_state = envmap_state._replace(params=env_params, ema_params=env_ema, opt_state=env_opt)
 
             stats = {
                 "loss_sum": jnp.sum(aux["per_ray_loss"]),
@@ -194,6 +228,7 @@ class Trainer:
                 grid=state.grid,
                 step=state.step + 1,
                 rng=rng,
+                envmap=envmap_state,
             )
             return new_state, stats
 
@@ -262,9 +297,12 @@ class TrainingLoop:
 
     @staticmethod
     def _quantize_n_rays(n: int) -> int:
-        """Power-of-two quantization, in [2^12, 2^18] (cap: testbed.cu:293)."""
-        n = max(1 << 12, min(n, 1 << 18))
-        return 1 << int(np.floor(np.log2(n)))
+        """Round to the nearest power of two, in [2^10, 2^18] (cap:
+        testbed.cu:293). Quantization bounds the number of distinct jit
+        shapes to 9; nearest (not floor) so the controller can actually
+        grow the ray count toward the target batch."""
+        n = max(1 << 10, min(n, 1 << 18))
+        return 1 << int(round(np.log2(n)))
 
     def train(self, state: TrainState, n_training_steps: int = 16):
         """One reference train() call: grid prep + n steps + controller."""

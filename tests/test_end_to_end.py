@@ -72,7 +72,7 @@ def test_render_modes(trained_testbed, scene):
     doc = json.loads(open(test_json).read())
     pose = np.asarray(doc["frames"][0]["transform_matrix"], np.float32)[:3, :4]
     tb.set_nerf_camera_matrix(pose)
-    for mode in ("Depth", "Distance", "AO", "Stepsize", "Cost"):
+    for mode in ("Depth", "Distance", "AO", "Stepsize", "Cost", "Normals"):
         tb.rendering_buffer.render_mode = mode
         img = tb.render(32, 32, spp=1, to_srgb=False)
         assert np.isfinite(img).all(), mode

@@ -135,16 +135,25 @@ def test_mark_untrained_grid_camera_facing():
     assert (out2[:g3] == -1.0).all()
 
 
-def test_sample_grid_positions_prefers_dense():
+def test_sample_grid_positions_rejection():
     cfg = _cfg(grid_size=8)
-    density = jnp.zeros((cfg.n_total_elements,))
-    density = density.at[100].set(1.0)  # the only cell above threshold
-    pos, idx = sample_grid_positions(cfg, density, jax.random.PRNGKey(0), 0, 64, step=0)
-    # nonuniform pass (thresh=0.01): every sample that found a passing
-    # candidate has idx 100; candidates not hitting it keep the last try
-    hits = (np.asarray(idx) == 100).mean()
-    assert hits > 0.05
-    assert pos.shape == (64, 3)
-    # uniform pass accepts any non-negative cell
-    pos_u, idx_u = sample_grid_positions(cfg, density, jax.random.PRNGKey(1), 64, 0, step=0)
-    assert ((np.asarray(idx_u) >= 0) & (np.asarray(idx_u) < cfg.n_total_elements)).all()
+    rng_np = np.random.default_rng(0)
+    # half the cells dense (density 1), half untrained (-1)
+    d = np.where(rng_np.uniform(size=cfg.n_total_elements) < 0.5, 1.0, -1.0).astype(np.float32)
+    density = jnp.asarray(d)
+    # nonuniform pass (thresh = min_optical): with 10 tries and 50% passing,
+    # ~all samples should land on a dense cell
+    pos, idx = sample_grid_positions(cfg, density, jax.random.PRNGKey(0), 0, 256, step=0)
+    assert (d[np.asarray(idx)] > cfg.min_optical_thickness).mean() > 0.95
+    assert pos.shape == (256, 3)
+    # sampled position lies inside the chosen cell's cascade cube
+    lvl = np.asarray(idx) // cfg.n_grid_elements
+    p = np.asarray(pos)
+    for c in range(cfg.n_cascades):
+        sel = lvl == c
+        if sel.any():
+            r = 0.5 * (1 << c)
+            assert (np.abs(p[sel] - 0.5) <= r + 1e-6).all()
+    # uniform pass (thresh=-0.01) avoids untrained (-1) cells just as hard
+    pos_u, idx_u = sample_grid_positions(cfg, density, jax.random.PRNGKey(1), 256, 0, step=0)
+    assert (d[np.asarray(idx_u)] > -0.01).mean() > 0.95

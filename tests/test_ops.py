@@ -96,17 +96,19 @@ def test_hash_encode_interpolates_dense_level():
     res, scale = spec.resolutions[0], spec.scales[0]  # res=5, scale=4
     table = jnp.asarray(np.random.default_rng(0).normal(size=(spec.n_entries, 2)), jnp.float32)
 
-    # vertex (1,2,3) corresponds to pos = ((1,2,3) - 0.5 + 0.5)/scale
-    pos = jnp.array([[1.0 / scale, 2.0 / scale, 3.0 / scale]])
+    # scaled = pos*scale + 0.5, so grid vertex v sits at pos = (v - 0.5)/scale
+    pos = jnp.array([[0.5 / scale, 1.5 / scale, 2.5 / scale]])
     out = np.asarray(hash_encode(table, pos, spec))[0]
     vertex_idx = 1 + 2 * res + 3 * res * res
     np.testing.assert_allclose(out, np.asarray(table)[vertex_idx], rtol=1e-5)
 
-    # midpoint between (0,0,0) and (1,0,0) averages the two vertices
-    pos = jnp.array([[0.5 / scale, 0.0, 0.0]])
+    # x midway between vertices 1 and 2, y/z exactly on vertices 1/1
+    pos = jnp.array([[1.0 / scale, 0.5 / scale, 0.5 / scale]])
     out = np.asarray(hash_encode(table, pos, spec))[0]
-    expect = 0.5 * (np.asarray(table)[0] + np.asarray(table)[1])
-    np.testing.assert_allclose(out, expect, rtol=1e-5)
+    i1 = 1 + 1 * res + 1 * res * res
+    i2 = 2 + 1 * res + 1 * res * res
+    expect = 0.5 * (np.asarray(table)[i1] + np.asarray(table)[i2])
+    np.testing.assert_allclose(out, expect, rtol=1e-4)
 
 
 def test_hash_encode_grad_is_scatter_add():
