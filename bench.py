@@ -26,6 +26,9 @@ BASELINE_SAMPLES_PER_SEC = 1.0e8
 
 
 def main():
+    import hashlib
+    from pathlib import Path
+
     import jax
     import numpy as np
 
@@ -35,40 +38,45 @@ def main():
     dev = jax.devices()[0]
     print(f"# device: {dev.platform} {getattr(dev, 'device_kind', '?')}", file=sys.stderr)
 
-    with tempfile.TemporaryDirectory() as td:
+    # dataset cached across bench runs (generation is numpy-only, ~seconds)
+    cache = Path(tempfile.gettempdir()) / "ngp_tpu_bench_scene_v1"
+    train_json = cache / "transforms_train.json"
+    if not train_json.exists():
         t0 = time.perf_counter()
-        train_json, _ = write_synthetic_dataset(td, n_train=12, n_test=1, width=96, height=96)
+        cache.mkdir(parents=True, exist_ok=True)
+        write_synthetic_dataset(cache, n_train=12, n_test=1, width=96, height=96)
         print(f"# dataset gen: {time.perf_counter()-t0:.1f}s", file=sys.stderr)
 
-        tb = Testbed()
-        tb.load_model_config_dict({})  # full defaults == base.json
-        tb.load_training_data(train_json)
+    tb = Testbed()
+    tb.load_model_config_dict({})  # full defaults == base.json
+    tb.load_training_data(train_json)
 
-        # warmup: let the grid bootstrap + jit compile all shapes
-        t0 = time.perf_counter()
-        while tb.training_buffer.i_step < 96:
-            tb.train(16, 1 << 18)
+    # warmup: let the grid bootstrap + jit compile all shapes
+    t0 = time.perf_counter()
+    while tb.training_buffer.i_step < 64:
+        tb.train(16, 1 << 18)
         print(
-            f"# warmup 96 steps: {time.perf_counter()-t0:.1f}s "
-            f"(n_rays={tb._loop.n_rays_per_batch}, measured={tb.training_buffer.measured_batch_size})",
+            f"#   warm step={tb.training_buffer.i_step} n_rays={tb._loop.n_rays_per_batch} "
+            f"cap={tb._loop.capacity} measured={tb.training_buffer.measured_batch_size} "
+            f"t={time.perf_counter()-t0:.1f}s",
             file=sys.stderr,
         )
 
-        # timed region
-        n_steps = 256
-        start_step = tb.training_buffer.i_step
-        samples = 0
-        t0 = time.perf_counter()
-        while tb.training_buffer.i_step < start_step + n_steps:
-            tb.train(16, 1 << 18)
-            samples += tb.training_buffer.measured_batch_size * 16
-        elapsed = time.perf_counter() - t0
-        sps = samples / elapsed
-        print(
-            f"# {n_steps} steps in {elapsed:.2f}s -> {sps:.3e} samples/s "
-            f"({n_steps/elapsed:.1f} steps/s), loss={tb.training_buffer.loss:.5f}",
-            file=sys.stderr,
-        )
+    # timed region
+    n_steps = 128
+    start_step = tb.training_buffer.i_step
+    samples = 0
+    t0 = time.perf_counter()
+    while tb.training_buffer.i_step < start_step + n_steps:
+        tb.train(16, 1 << 18)
+        samples += tb.training_buffer.measured_batch_size * 16
+    elapsed = time.perf_counter() - t0
+    sps = samples / elapsed
+    print(
+        f"# {n_steps} steps in {elapsed:.2f}s -> {sps:.3e} samples/s "
+        f"({n_steps/elapsed:.1f} steps/s), loss={tb.training_buffer.loss:.5f}",
+        file=sys.stderr,
+    )
 
     print(
         json.dumps(

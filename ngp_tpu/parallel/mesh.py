@@ -44,19 +44,21 @@ def make_mesh(devices=None) -> Mesh:
     return Mesh(np.asarray(devices), axis_names=("data",))
 
 
-def make_dp_train_step(trainer: Trainer, mesh: Mesh, n_rays_global: int):
+def make_dp_train_step(trainer: Trainer, mesh: Mesh, n_rays_global: int, capacity: int | None = None):
     """Build the sharded train step. n_rays_global must divide by mesh size."""
     cfg = trainer.config
     scfg = cfg.sampler
     model = trainer.model
     aabb = trainer.aabb
+    if cfg.envmap.train:
+        raise NotImplementedError("envmap training is single-chip only for now")
     tx = create_optimizer(cfg.optimizer)
     n_lattice = n_lattice_points(scfg)
     n_dev = mesh.devices.size
     if n_rays_global % n_dev:
         raise ValueError(f"n_rays_global={n_rays_global} not divisible by mesh size {n_dev}")
     n_rays_local = n_rays_global // n_dev
-    capacity_local = max(trainer.sample_capacity // n_dev, 1024)
+    capacity_local = max((capacity or trainer.sample_capacity) // n_dev, 1024)
 
     rep = P()  # replicated
 

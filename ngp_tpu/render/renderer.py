@@ -53,14 +53,16 @@ def collect_render_samples(scfg, aabb: AABB, occupancy, o, d, startt, alive, n_l
     t_idx = jnp.full((R, k_cap), -1, jnp.int32)
 
     def body(carry, chunk_idx):
-        taken, t_idx = carry
+        taken, still, t_idx = carry
         i = chunk_idx * _CHUNK + jnp.arange(_CHUNK, dtype=jnp.float32)
         t = startt[:, None] + i[None, :] * dt
         pos = o[:, None, :] + t[..., None] * d[:, None, :]
         inside = aabb.contains(pos)
+        # reference breaks at the first point outside the box (cu:580-583)
+        reachable = still[:, None] & (jnp.cumprod(inside, axis=1) > 0)
         mip = mip_from_dt(jnp.full_like(t, dt), pos, scfg.grid_size, scfg.n_cascades)
         occ = occupancy_lookup(scfg, occupancy, pos, mip)
-        mask = inside & occ & alive[:, None]
+        mask = reachable & occ & alive[:, None]
         ordinal = taken[:, None] + jnp.cumsum(mask, axis=1) - mask.astype(jnp.int32)
         mask = mask & (ordinal < k_cap)
         dest = jnp.where(mask, ordinal, k_cap)
@@ -71,10 +73,10 @@ def collect_render_samples(scfg, aabb: AABB, occupancy, o, d, startt, alive, n_l
         )
         t_idx = jnp.maximum(t_idx, padded.reshape(R, k_cap + 1)[:, :k_cap])
         taken = taken + jnp.sum(mask, axis=1, dtype=jnp.int32)
-        return (taken, t_idx), None
+        return (taken, reachable[:, -1], t_idx), None
 
-    (counts, t_idx), _ = jax.lax.scan(
-        body, (jnp.zeros(R, jnp.int32), t_idx), jnp.arange(n_lattice // _CHUNK)
+    (counts, _, t_idx), _ = jax.lax.scan(
+        body, (jnp.zeros(R, jnp.int32), jnp.ones(R, bool), t_idx), jnp.arange(n_lattice // _CHUNK)
     )
     return t_idx, counts
 

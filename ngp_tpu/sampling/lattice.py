@@ -50,25 +50,29 @@ def n_lattice_points(cfg: SamplerConfig) -> int:
     return -(-n // _CHUNK) * _CHUNK  # round up to a whole number of chunks
 
 
-def _chunk_mask(cfg: SamplerConfig, aabb: AABB, occupancy, o, d, startt, chunk_start, taken_so_far):
+def _chunk_mask(cfg: SamplerConfig, aabb: AABB, occupancy, o, d, startt, chunk_start, taken_so_far, still_inside):
     """Occupied-sample mask for lattice points [chunk_start, chunk_start+_CHUNK).
 
-    Returns (mask (R, CHUNK) bool, t (R, CHUNK)). `taken_so_far` caps total
-    occupied samples per ray at n_max_steps, matching the `j < n_max_steps`
-    loop bound (occupancy_sampler.cu:397).
+    Returns (mask (R, CHUNK), t, ordinal, still_inside'). The reference's
+    march loop BREAKS at the first lattice point outside the AABB
+    (occupancy_sampler.cu:397) — `still_inside` carries that prefix property
+    across chunks. `taken_so_far` caps occupied samples per ray at
+    n_max_steps (the `j < n_max_steps` bound).
     """
     dt = cfg.min_cone_stepsize
     i = chunk_start + jnp.arange(_CHUNK, dtype=jnp.float32)
     t = startt[:, None] + i[None, :] * dt  # (R, CHUNK)
     pos = o[:, None, :] + t[..., None] * d[:, None, :]  # (R, CHUNK, 3)
     inside = aabb.contains(pos)
+    # prefix-AND: a point is reachable only if every earlier point was inside
+    reachable = still_inside[:, None] & (jnp.cumprod(inside, axis=1) > 0)
     mip = mip_from_dt(jnp.full_like(t, dt), pos, cfg.grid_size, cfg.n_cascades)
     occ = occupancy_lookup(cfg, occupancy, pos, mip)
-    mask = inside & occ
+    mask = reachable & occ
     # enforce the per-ray sample cap (the reference's `j < n_max_steps`)
     ordinal = taken_so_far[:, None] + jnp.cumsum(mask, axis=1) - mask.astype(jnp.int32)
     mask = mask & (ordinal < cfg.maximum_marching_steps)
-    return mask, t, ordinal
+    return mask, t, ordinal, reachable[:, -1]
 
 
 def count_samples(cfg: SamplerConfig, aabb: AABB, occupancy, o, d, startt, n_lattice: int):
@@ -77,11 +81,15 @@ def count_samples(cfg: SamplerConfig, aabb: AABB, occupancy, o, d, startt, n_lat
     Mirrors the reference's first marching pass (occupancy_sampler.cu:389-407).
     """
 
-    def body(taken, chunk_idx):
-        mask, _, _ = _chunk_mask(cfg, aabb, occupancy, o, d, startt, chunk_idx * _CHUNK, taken)
-        return taken + jnp.sum(mask, axis=1, dtype=jnp.int32), None
+    def body(carry, chunk_idx):
+        taken, still = carry
+        mask, _, _, still = _chunk_mask(cfg, aabb, occupancy, o, d, startt, chunk_idx * _CHUNK, taken, still)
+        return (taken + jnp.sum(mask, axis=1, dtype=jnp.int32), still), None
 
-    taken, _ = jax.lax.scan(body, jnp.zeros(o.shape[0], jnp.int32), jnp.arange(n_lattice // _CHUNK))
+    R = o.shape[0]
+    (taken, _), _ = jax.lax.scan(
+        body, (jnp.zeros(R, jnp.int32), jnp.ones(R, bool)), jnp.arange(n_lattice // _CHUNK)
+    )
     return taken
 
 
@@ -110,29 +118,35 @@ def scatter_samples(
     dt = cfg.min_cone_stepsize
     R = o.shape[0]
 
-    flat_pos = jnp.zeros((capacity, 3), jnp.float32)
-    flat_t = jnp.zeros((capacity,), jnp.float32)
-    flat_ray = jnp.zeros((capacity,), jnp.int32)
-    flat_valid = jnp.zeros((capacity,), bool)
+    # one packed scatter per chunk: [pos.xyz, t, ray_id bits] in a single
+    # (capacity, 5) buffer (every .at[].set is its own XLA scatter whose cost
+    # scales with *input* rows, so fewer+wider beats many+narrow)
+    flat = jnp.full((capacity, 5), -1.0, jnp.float32)
 
     def body(carry, chunk_idx):
-        taken, flat_pos, flat_t, flat_ray, flat_valid = carry
-        mask, t, ordinal = _chunk_mask(cfg, aabb, occupancy, o, d, startt, chunk_idx * _CHUNK, taken)
+        taken, still, flat = carry
+        mask, t, ordinal, still = _chunk_mask(cfg, aabb, occupancy, o, d, startt, chunk_idx * _CHUNK, taken, still)
         mask = mask & ray_valid[:, None]
         dest = base[:, None] + ordinal  # (R, CHUNK)
         dest = jnp.where(mask, dest, capacity)  # out-of-range drops in scatter
-        dest_f = dest.reshape(-1)
         pos = o[:, None, :] + t[..., None] * d[:, None, :]
-        flat_pos = flat_pos.at[dest_f].set(aabb.relative_pos(pos).reshape(-1, 3), mode="drop")
-        flat_t = flat_t.at[dest_f].set(t.reshape(-1), mode="drop")
         ray_ids = jnp.broadcast_to(jnp.arange(R, dtype=jnp.int32)[:, None], mask.shape)
-        flat_ray = flat_ray.at[dest_f].set(ray_ids.reshape(-1), mode="drop")
-        flat_valid = flat_valid.at[dest_f].set(mask.reshape(-1), mode="drop")
+        # ray id stored as an exact float (R < 2^24); empty slots stay -1.0
+        packed = jnp.concatenate(
+            [aabb.relative_pos(pos), t[..., None], ray_ids.astype(jnp.float32)[..., None]],
+            axis=-1,
+        )  # (R, CHUNK, 5)
+        flat = flat.at[dest.reshape(-1)].set(packed.reshape(-1, 5), mode="drop")
         taken = taken + jnp.sum(mask, axis=1, dtype=jnp.int32)
-        return (taken, flat_pos, flat_t, flat_ray, flat_valid), None
+        return (taken, still, flat), None
 
-    init = (jnp.zeros(R, jnp.int32), flat_pos, flat_t, flat_ray, flat_valid)
-    (taken, flat_pos, flat_t, flat_ray, flat_valid), _ = jax.lax.scan(body, init, jnp.arange(n_lattice // _CHUNK))
+    init = (jnp.zeros(R, jnp.int32), jnp.ones(R, bool), flat)
+    (taken, _, flat), _ = jax.lax.scan(body, init, jnp.arange(n_lattice // _CHUNK))
+
+    flat_pos = flat[:, :3]
+    flat_t = flat[:, 3]
+    flat_valid = flat[:, 4] >= 0.0  # empty slots keep the -1.0 fill
+    flat_ray = jnp.where(flat_valid, flat[:, 4], 0.0).astype(jnp.int32)
 
     dir_w = (d[flat_ray] + 1.0) * 0.5
     dts = jnp.full((capacity,), dt, jnp.float32)

@@ -53,7 +53,10 @@ class RenderingBufferView:
 
 
 class Testbed:
-    def __init__(self):
+    def __init__(self, use_mesh: bool = False):
+        """use_mesh=True trains data-parallel over all visible devices
+        (ngp_tpu/parallel/mesh.py) — the scaling layer the reference lacks."""
+        self._use_mesh = use_mesh
         self.seed = 43
         self.background_color = [0.0, 0.0, 0.0, 1.0]  # sRGB (testbed.h:116)
         self.color_space = "Linear"
@@ -91,7 +94,12 @@ class Testbed:
     def _init_from_doc(self, doc):
         self.config = NGPConfig.from_json(doc)
         self.loss_type = self.config.loss
-        self._trainer = Trainer.create(self.config)
+        mesh = None
+        if self._use_mesh and len(jax.devices()) > 1:
+            from ngp_tpu.parallel.mesh import make_mesh
+
+            mesh = make_mesh()
+        self._trainer = Trainer.create(self.config, mesh=mesh)
         self._state = self._trainer.init_state(self.seed)
         self._renderer = Renderer(
             model=self._trainer.model,

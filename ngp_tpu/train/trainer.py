@@ -92,12 +92,13 @@ class Trainer:
     color_space: str = "Linear"  # testbed.h:117
     target_batch_size: int = 1 << 18
     sample_capacity: int = 1 << 19  # flat sample buffer (static shape)
+    mesh: Any = None  # jax.sharding.Mesh -> data-parallel steps
     _cache: dict = field(default_factory=dict)
 
     @staticmethod
-    def create(config: NGPConfig) -> "Trainer":
+    def create(config: NGPConfig, mesh=None) -> "Trainer":
         model = NGPModel.create(config.network)
-        return Trainer(config=config, model=model, aabb=AABB.scene(config.sampler.aabb_scale))
+        return Trainer(config=config, model=model, aabb=AABB.scene(config.sampler.aabb_scale), mesh=mesh)
 
     # ------------------------------------------------------------------ init
     def init_state(self, seed: int = 43) -> TrainState:
@@ -123,14 +124,13 @@ class Trainer:
         )
 
     # ----------------------------------------------------------- train step
-    def _train_step_fn(self, n_rays: int):
+    def _train_step_fn(self, n_rays: int, capacity: int):
         cfg = self.config
         scfg = cfg.sampler
         model = self.model
         aabb = self.aabb
         tx = create_optimizer(cfg.optimizer)
         n_lattice = n_lattice_points(scfg)
-        capacity = self.sample_capacity
 
         def step_fn(state: TrainState, images, xforms, focal_length, n_rays_shift):
             rng, k_batch, k_bg = jax.random.split(state.rng, 3)
@@ -234,13 +234,23 @@ class Trainer:
 
         return step_fn
 
-    def train_step(self, n_rays: int):
-        """Jitted step for a given (static, power-of-two) ray count."""
-        key = ("step", n_rays)
+    def train_step(self, n_rays: int, capacity: int | None = None):
+        """Jitted step for a given (static, power-of-two) ray count.
+
+        With a mesh set, returns the shard_map data-parallel step (rays
+        sharded over the "data" axis, grads psum'ed; parallel/mesh.py).
+        """
+        capacity = capacity or self.sample_capacity
+        key = ("step", n_rays, capacity)
         if key not in self._cache:
-            self._cache[key] = jax.jit(
-                self._train_step_fn(n_rays), static_argnames=(), donate_argnums=(0,)
-            )
+            if self.mesh is not None and self.mesh.devices.size > 1:
+                from ngp_tpu.parallel.mesh import make_dp_train_step
+
+                self._cache[key] = make_dp_train_step(self, self.mesh, n_rays, capacity)
+            else:
+                self._cache[key] = jax.jit(
+                    self._train_step_fn(n_rays, capacity), static_argnames=(), donate_argnums=(0,)
+                )
         return self._cache[key]
 
     # ----------------------------------------------------------- grid update
@@ -276,7 +286,12 @@ class Trainer:
             shape = (n_total, 0)
         key = ("grid", shape)
         if key not in self._cache:
-            self._cache[key] = jax.jit(self._grid_update_fn(*shape), donate_argnums=(0,))
+            if self.mesh is not None and self.mesh.devices.size > 1:
+                from ngp_tpu.parallel.mesh import make_dp_grid_update
+
+                self._cache[key] = make_dp_grid_update(self, self.mesh, *shape)
+            else:
+                self._cache[key] = jax.jit(self._grid_update_fn(*shape), donate_argnums=(0,))
         return self._cache[key]
 
 
@@ -287,6 +302,7 @@ class TrainingLoop:
         self.trainer = trainer
         self.dataset = dataset
         self.n_rays_per_batch = 1 << 12  # testbed.h:141
+        self.capacity = trainer.sample_capacity  # adaptive, pow2-quantized
         self.n_rays_total = 0
         self.i_step = 0
         self.loss_scalar = float("nan")
@@ -314,7 +330,7 @@ class TrainingLoop:
         self.training_prep_ms = (time.perf_counter() - t0) * 1e3
 
         t0 = time.perf_counter()
-        step_fn = self.trainer.train_step(self.n_rays_per_batch)
+        step_fn = self.trainer.train_step(self.n_rays_per_batch, self.capacity)
         ds = self.dataset
         all_stats = []
         for _ in range(n_training_steps):
@@ -343,7 +359,15 @@ class TrainingLoop:
         self.loss_scalar = loss_sum / n_training_steps * (measured / target)
 
         # adaptive ray count (testbed.cu:292-293), quantized for jit caching
-        n_rays = int(self.n_rays_per_batch * target / measured)
+        old_n_rays = self.n_rays_per_batch
+        n_rays = int(old_n_rays * target / measured)
         n_rays = -(-n_rays // BATCH_SIZE_MULTIPLE) * BATCH_SIZE_MULTIPLE
         self.n_rays_per_batch = self._quantize_n_rays(n_rays)
+
+        # adaptive flat-sample capacity: every buffer slot is fwd+bwd work,
+        # so oversizing wastes step time linearly. Size for the *next* call's
+        # expected uncompacted batch with 50% headroom, pow2-quantized.
+        expect_bc = measured_bc * self.n_rays_per_batch / old_n_rays
+        cap = 1 << max(14, int(np.ceil(np.log2(max(1.5 * expect_bc, 1.0)))))
+        self.capacity = min(cap, self.trainer.sample_capacity)
         return state

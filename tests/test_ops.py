@@ -100,7 +100,8 @@ def test_hash_encode_interpolates_dense_level():
     pos = jnp.array([[0.5 / scale, 1.5 / scale, 2.5 / scale]])
     out = np.asarray(hash_encode(table, pos, spec))[0]
     vertex_idx = 1 + 2 * res + 3 * res * res
-    np.testing.assert_allclose(out, np.asarray(table)[vertex_idx], rtol=1e-5)
+    # forward gathers a bf16 view of the table -> bf16-level tolerance
+    np.testing.assert_allclose(out, np.asarray(table)[vertex_idx], rtol=1e-2, atol=1e-3)
 
     # x midway between vertices 1 and 2, y/z exactly on vertices 1/1
     pos = jnp.array([[1.0 / scale, 0.5 / scale, 0.5 / scale]])
@@ -108,7 +109,7 @@ def test_hash_encode_interpolates_dense_level():
     i1 = 1 + 1 * res + 1 * res * res
     i2 = 2 + 1 * res + 1 * res * res
     expect = 0.5 * (np.asarray(table)[i1] + np.asarray(table)[i2])
-    np.testing.assert_allclose(out, expect, rtol=1e-4)
+    np.testing.assert_allclose(out, expect, rtol=1e-2, atol=1e-3)
 
 
 def test_hash_encode_grad_is_scatter_add():
@@ -130,6 +131,24 @@ def test_hash_encode_grad_is_scatter_add():
     tm = table.at[touched, 0].add(-eps)
     fd = (f(tp) - f(tm)) / (2 * eps)
     np.testing.assert_allclose(float(g[touched, 0]), float(fd), rtol=2e-2, atol=1e-5)
+
+
+def test_hash_encode_pos_gradient():
+    """custom_vjp's analytic d/dpos vs finite differences."""
+    spec = _tiny_spec()
+    table = jnp.asarray(np.random.default_rng(3).normal(size=(spec.n_entries, 2)), jnp.float32)
+    pos = jnp.asarray([[0.31, 0.62, 0.47]], jnp.float32)
+
+    def f(p):
+        return jnp.sum(hash_encode(table, p, spec) * jnp.arange(spec.n_output_dims))
+
+    g = np.asarray(jax.grad(f)(pos))[0]
+    eps = 1e-4
+    for d in range(3):
+        pp = pos.at[0, d].add(eps)
+        pm = pos.at[0, d].add(-eps)
+        fd = (float(f(pp)) - float(f(pm))) / (2 * eps)
+        np.testing.assert_allclose(g[d], fd, rtol=5e-2, atol=1e-2)
 
 
 def test_hash_encode_continuity_across_cell():
