@@ -44,8 +44,8 @@ def make_mesh(devices=None) -> Mesh:
     return Mesh(np.asarray(devices), axis_names=("data",))
 
 
-def make_dp_train_step(trainer: Trainer, mesh: Mesh, n_rays_global: int, capacity: int | None = None):
-    """Build the sharded train step. n_rays_global must divide by mesh size."""
+def _make_dp_step_fn(trainer: Trainer, mesh: Mesh, n_rays_global: int, capacity: int | None = None):
+    """Per-device step body (must run inside shard_map)."""
     cfg = trainer.config
     scfg = cfg.sampler
     model = trainer.model
@@ -138,12 +138,37 @@ def make_dp_train_step(trainer: Trainer, mesh: Mesh, n_rays_global: int, capacit
         )
         return new_state, stats
 
+    return step_fn
+
+
+def make_dp_train_step(trainer: Trainer, mesh: Mesh, n_rays_global: int, capacity: int | None = None):
+    """Single sharded train step (rays over "data", psum grads)."""
+    step_fn = _make_dp_step_fn(trainer, mesh, n_rays_global, capacity)
+    rep = P()
     sharded = shard_map(
         step_fn,
         mesh=mesh,
         in_specs=(rep, rep, rep, rep, rep),
         out_specs=(rep, rep),
         check_vma=False,
+    )
+    return jax.jit(sharded, donate_argnums=(0,))
+
+
+def make_dp_train_call(trainer: Trainer, mesh: Mesh, n_rays_global: int, capacity: int, n_steps: int):
+    """n_steps sharded inner steps fused into one jitted lax.scan call."""
+    step_fn = _make_dp_step_fn(trainer, mesh, n_rays_global, capacity)
+    rep = P()
+
+    def call_fn(state, images, xforms, focal_length, shift0):
+        def body(st, i):
+            st, stats = step_fn(st, images, xforms, focal_length, shift0 + jnp.uint32(i) * jnp.uint32(n_rays_global))
+            return st, stats
+
+        return jax.lax.scan(body, state, jnp.arange(n_steps))
+
+    sharded = shard_map(
+        call_fn, mesh=mesh, in_specs=(rep, rep, rep, rep, rep), out_specs=(rep, rep), check_vma=False
     )
     return jax.jit(sharded, donate_argnums=(0,))
 

@@ -48,7 +48,7 @@ def create_optimizer(cfg: OptimizerConfig):
 
     def mlp_mask(params):
         return {
-            "hash_table": False,
+            "hash_table": jax.tree_util.tree_map(lambda _: False, params["hash_table"]),
             "density_mlp": [True] * len(params["density_mlp"]),
             "rgb_mlp": [True] * len(params["rgb_mlp"]),
         }

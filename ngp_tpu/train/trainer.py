@@ -234,6 +234,30 @@ class Trainer:
 
         return step_fn
 
+    def train_call(self, n_rays: int, capacity: int, n_steps: int):
+        """One jitted call running `n_steps` inner steps via lax.scan —
+        collapses per-step host dispatches (expensive through a remote
+        device tunnel) into one. Mirrors the reference's 16-step train()
+        granularity (testbed.cu:255-263)."""
+        key = ("call", n_rays, capacity, n_steps)
+        if key not in self._cache:
+            if self.mesh is not None and self.mesh.devices.size > 1:
+                from ngp_tpu.parallel.mesh import make_dp_train_call
+
+                self._cache[key] = make_dp_train_call(self, self.mesh, n_rays, capacity, n_steps)
+            else:
+                step_fn = self._train_step_fn(n_rays, capacity)
+
+                def call_fn(state, images, xforms, focal_length, shift0):
+                    def body(st, i):
+                        st, stats = step_fn(st, images, xforms, focal_length, shift0 + jnp.uint32(i) * jnp.uint32(n_rays))
+                        return st, stats
+
+                    return jax.lax.scan(body, state, jnp.arange(n_steps))
+
+                self._cache[key] = jax.jit(call_fn, donate_argnums=(0,))
+        return self._cache[key]
+
     def train_step(self, n_rays: int, capacity: int | None = None):
         """Jitted step for a given (static, power-of-two) ray count.
 
@@ -330,32 +354,30 @@ class TrainingLoop:
         self.training_prep_ms = (time.perf_counter() - t0) * 1e3
 
         t0 = time.perf_counter()
-        step_fn = self.trainer.train_step(self.n_rays_per_batch, self.capacity)
+        call_fn = self.trainer.train_call(self.n_rays_per_batch, self.capacity, n_training_steps)
         ds = self.dataset
-        all_stats = []
-        for _ in range(n_training_steps):
-            if self.i_step == 0:
-                self.n_rays_total = 0
-            shift = self.n_rays_total
-            self.n_rays_total += self.n_rays_per_batch
-            # shift must be a device scalar: a fresh python int would retrace
-            state, stats = step_fn(state, ds.images, ds.xforms, jnp.asarray(ds.focal_length), jnp.uint32(shift))
-            all_stats.append(stats)
-            self.i_step += 1
+        if self.i_step == 0:
+            self.n_rays_total = 0
+        shift = self.n_rays_total
+        self.n_rays_total += self.n_rays_per_batch * n_training_steps
+        # one jitted call runs all inner steps (lax.scan); shift as a device
+        # scalar so fresh python ints don't retrace
+        state, stats = call_fn(state, ds.images, ds.xforms, jnp.asarray(ds.focal_length), jnp.uint32(shift))
+        self.i_step += n_training_steps
 
         # single D->H sync for telemetry (testbed.cu:266-289)
-        stats = jax.device_get(all_stats)
+        stats = jax.device_get(stats)
         self.training_ms = (time.perf_counter() - t0) * 1e3
 
-        measured = float(np.mean([s["measured_batch_size"] for s in stats]))
-        measured_bc = float(np.mean([s["measured_batch_size_before_compaction"] for s in stats]))
+        measured = float(np.mean(stats["measured_batch_size"]))
+        measured_bc = float(np.mean(stats["measured_batch_size_before_compaction"]))
         if measured == 0:
             raise RuntimeError("Training generated 0 samples. Aborting training.")
         self.measured_batch_size = measured
         self.measured_batch_size_before_compaction = measured_bc
 
         target = self.trainer.target_batch_size
-        loss_sum = float(np.sum([s["loss_sum"] / self.n_rays_per_batch for s in stats]))
+        loss_sum = float(np.sum(stats["loss_sum"])) / self.n_rays_per_batch
         self.loss_scalar = loss_sum / n_training_steps * (measured / target)
 
         # adaptive ray count (testbed.cu:292-293), quantized for jit caching
