@@ -82,13 +82,25 @@ class NGPModel:
         Reference: NGPNetwork::inference_mixed_precision (ngp_network.h:224)
         -> assemble_rgbd (h:68): output = [rgb_net(concat(density_out, SH)),
         density_out[0]].
+
+        The MLP heads run under jax.checkpoint: saving (N, 64) hidden
+        activations for the backward pass dominated training-step memory on
+        TPU; recomputing them costs negligible MXU time. Only the hash
+        encoding output (N, L*F) is saved.
         """
-        density_out = self.density_raw(params, pos)
+        enc = hash_encode(params["hash_table"], pos, self.grid_spec)
         sh = sh_encode(warped_dir, self.config.sh_degree)
-        rgb_in = jnp.concatenate([density_out, sh], axis=-1)
-        cfg = self.config.rgb_mlp
-        rgb_raw = mlp_apply(params["rgb_mlp"], rgb_in, cfg.activation, cfg.output_activation)
-        return rgb_raw, density_out[..., 0]
+        dcfg = self.config.density_mlp
+        rcfg = self.config.rgb_mlp
+
+        @jax.checkpoint
+        def heads(mlp_params, enc, sh):
+            density_out = mlp_apply(mlp_params["density_mlp"], enc, dcfg.activation, dcfg.output_activation)
+            rgb_in = jnp.concatenate([density_out, sh], axis=-1)
+            rgb_raw = mlp_apply(mlp_params["rgb_mlp"], rgb_in, rcfg.activation, rcfg.output_activation)
+            return rgb_raw, density_out[..., 0]
+
+        return heads({"density_mlp": params["density_mlp"], "rgb_mlp": params["rgb_mlp"]}, enc, sh)
 
 
 # ------------------------------------------------------------ transfer fns

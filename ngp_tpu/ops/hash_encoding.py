@@ -12,11 +12,19 @@ al. 2022) and tcnn's grid:
    the table, otherwise spatial hash (x*1 ^ y*2654435761 ^ z*805459861) mod T
  * F features per level, outputs concatenated level-major -> L*F dims
 
-TPU mapping: one gather per level from an fp32 table (peak memory stays at
-[N, 8, F] per level); the backward pass is the gather's transpose — a
-deterministic scatter-add XLA generates from autodiff, replacing tcnn's
-atomicAdd race (which this module therefore makes reproducible). A Pallas
-double-buffered gather kernel can swap in underneath `encode` later.
+TPU design decisions (measured on v5e):
+ * The table is ONE stacked (L, T_pad, F) array and the level loop is a
+   `lax.scan`: 16 separate per-level gathers/scatters made XLA schedule all
+   levels' ~100 MB temporaries concurrently (14.5 GB live set); the scan
+   reuses one level's buffers. Dense low levels waste a little padding
+   (~2 MB total) for a uniform scan body.
+ * Forward gathers a bf16 view (halves gather traffic; weights/sums in fp32).
+ * custom_vjp backward scatter-adds bf16 contributions per level — the
+   analogue of tcnn's __half2 atomicAdd backward (fp16-class mantissa, fp32
+   exponent range, no loss scaling needed). Per-level (4 MB) scatter operands
+   are ~2.6x faster than one 50 MB operand.
+ * d/dpos (Normals mode, input-gradient API) uses the analytic trilinear
+   derivative; XLA dead-code-eliminates it when unused.
 """
 
 import functools
@@ -44,12 +52,16 @@ class HashGridSpec:
     scales: tuple  # float per level
     resolutions: tuple  # int per level
     dense: tuple  # bool per level
-    sizes: tuple  # table entries per level
-    offsets: tuple  # exclusive prefix of sizes
+    sizes: tuple  # logical table entries per level
+    offsets: tuple  # exclusive prefix of sizes (for flat export)
 
     @property
     def n_entries(self) -> int:
         return self.offsets[-1] + self.sizes[-1]
+
+    @property
+    def padded_size(self) -> int:
+        return max(self.sizes)
 
     @property
     def n_output_dims(self) -> int:
@@ -63,8 +75,8 @@ class HashGridSpec:
             scale = cfg.base_resolution * (cfg.scale**l) - 1.0
             res = int(math.ceil(scale)) + 1
             is_dense = res**3 <= cfg.hashmap_size
-            # align each level's stride (tcnn aligns to 8 for vectorized loads;
-            # we keep it so table sizes/param counts match expectations)
+            # align each level's stride to 8 (tcnn does the same for
+            # vectorized loads; keeps param counts comparable)
             size = -(-(res**3) // 8) * 8 if is_dense else cfg.hashmap_size
             scales.append(scale)
             resolutions.append(res)
@@ -82,25 +94,33 @@ class HashGridSpec:
             offsets=tuple(offsets),
         )
 
+    def level_constants(self):
+        """Per-level traced constants for the scan body, each (L,)."""
+        return {
+            "scale": jnp.asarray(self.scales, jnp.float32),
+            "res": jnp.asarray(self.resolutions, jnp.int32),
+            "dense": jnp.asarray(self.dense, bool),
+            "size": jnp.asarray(self.sizes, jnp.int32),
+        }
+
 
 def hash_table_init(key, spec: HashGridSpec, scale: float = 1e-4):
     """Uniform(-1e-4, 1e-4) init, tcnn's default for grid params.
 
-    The table is a LIST of per-level (size_l, F) arrays rather than one
-    concatenated buffer: XLA scatter/gather cost grows with the operand
-    size, so per-level operands (<= 4 MB each) make the backward scatter
-    ~2.6x faster than one 50 MB table (measured on v5e).
+    Stacked (L, T_pad, F) fp32; rows past a level's logical size are unused
+    padding (kept at 0 by init and never touched by gradients).
     """
-    keys = jax.random.split(key, spec.n_levels)
-    return [
-        jax.random.uniform(k, (size, spec.n_features), jnp.float32, -scale, scale)
-        for k, size in zip(keys, spec.sizes)
-    ]
+    return jax.random.uniform(
+        key, (spec.n_levels, spec.padded_size, spec.n_features), jnp.float32, -scale, scale
+    )
 
 
-def _level_indices(pos, level: int, spec: HashGridSpec):
-    """pos: (N, 3) in [0,1] -> corner indices into level table (N, 8), weights (N, 8)."""
-    scaled = pos * spec.scales[level] + 0.5
+def _corner_indices_weights(pos, scale, res, dense, size):
+    """Corner indices+weights for ONE level with traced per-level constants.
+
+    pos (N,3); scale/res/size scalars; dense bool scalar. -> ((N,8) i32, (N,8) f32)
+    """
+    scaled = pos * scale + 0.5
     base = jnp.floor(scaled)
     frac = scaled - base
     base = base.astype(jnp.int32)
@@ -108,46 +128,46 @@ def _level_indices(pos, level: int, spec: HashGridSpec):
     corners = jnp.asarray(_CORNERS, jnp.int32)  # (8, 3)
     cpos = base[:, None, :] + corners[None, :, :]  # (N, 8, 3)
 
-    # trilinear weights: prod over dims of (frac if corner==1 else 1-frac)
     w = jnp.where(corners[None].astype(bool), frac[:, None, :], 1.0 - frac[:, None, :])
     weights = w[..., 0] * w[..., 1] * w[..., 2]  # (N, 8)
 
-    res = spec.resolutions[level]
-    if spec.dense[level]:
-        cpos = jnp.clip(cpos, 0, res - 1)
-        idx = cpos[..., 0] + cpos[..., 1] * res + cpos[..., 2] * (res * res)
-        idx = idx.astype(jnp.uint32)
-    else:
-        u = cpos.astype(jnp.uint32)
-        primes = jnp.asarray(_PRIMES)
-        idx = (u[..., 0] * primes[0]) ^ (u[..., 1] * primes[1]) ^ (u[..., 2] * primes[2])
-        idx = idx % jnp.uint32(spec.sizes[level])
-    return idx.astype(jnp.int32), weights
+    cd = jnp.clip(cpos, 0, res - 1)
+    idx_dense = cd[..., 0] + cd[..., 1] * res + cd[..., 2] * (res * res)
+
+    u = cpos.astype(jnp.uint32)
+    primes = jnp.asarray(_PRIMES)
+    idx_hash = ((u[..., 0] * primes[0]) ^ (u[..., 1] * primes[1]) ^ (u[..., 2] * primes[2])) % size.astype(jnp.uint32)
+
+    idx = jnp.where(dense, idx_dense, idx_hash.astype(jnp.int32))
+    return idx, weights
+
+
+def _level_indices(pos, level: int, spec: HashGridSpec):
+    """Static-level variant (tests, export)."""
+    lc = spec.level_constants()
+    return _corner_indices_weights(
+        pos, lc["scale"][level], lc["res"][level], lc["dense"][level], lc["size"][level]
+    )
 
 
 def _hash_encode_impl(table, pos, spec: HashGridSpec, gather_dtype):
-    outs = []
-    for l in range(spec.n_levels):
-        idx, weights = _level_indices(pos, l, spec)
-        feats = table[l].astype(gather_dtype)[idx].astype(jnp.float32)  # (N, 8, F)
-        outs.append(jnp.sum(feats * weights[..., None], axis=1))  # (N, F)
-    return jnp.concatenate(outs, axis=-1)
+    lc = spec.level_constants()
+    tbl = table.astype(gather_dtype)
+
+    def body(_, xs):
+        tbl_l, scale, res, dense, size = xs
+        idx, weights = _corner_indices_weights(pos, scale, res, dense, size)
+        feats = tbl_l[idx].astype(jnp.float32)  # (N, 8, F)
+        return None, jnp.sum(feats * weights[..., None], axis=1)  # (N, F)
+
+    _, outs = jax.lax.scan(body, None, (tbl, lc["scale"], lc["res"], lc["dense"], lc["size"]))
+    # (L, N, F) -> (N, L*F) level-major features
+    return jnp.transpose(outs, (1, 0, 2)).reshape(pos.shape[0], spec.n_output_dims)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
 def hash_encode(table, pos, spec: HashGridSpec):
-    """table: list of per-level (size_l, F); pos: (N, 3) in [0,1] -> (N, L*F).
-
-    Mixed precision tuned for TPU: the forward gathers a bf16 view of the
-    table (halves the gather traffic; features re-expand to fp32 before the
-    weighted sum), and the backward scatter-adds bf16 contributions — the
-    direct analogue of tcnn's __half2 atomicAdd grid backward (tcnn performs
-    fp16 atomics; bf16 has the same 8-bit mantissa class with fp32 exponent
-    range, so no loss-scaling is needed). Measured on v5e, the bf16 scatter
-    is 2.5x the fp32 one. Gradients w.r.t. `pos` (needed by the Normals
-    render mode and any input-gradient API) use the analytic trilinear
-    derivative.
-    """
+    """table: (L, T_pad, F); pos: (N, 3) in [0,1] -> (N, L*F) fp32."""
     return _hash_encode_impl(table, pos, spec, jnp.bfloat16)
 
 
@@ -155,30 +175,36 @@ def _hash_encode_fwd(table, pos, spec: HashGridSpec):
     return hash_encode(table, pos, spec), (table, pos)
 
 
-def _hash_encode_bwd(spec: HashGridSpec, res, g):
-    table, pos = res
+def _hash_encode_bwd(spec: HashGridSpec, res_, g):
+    table, pos = res_
     f = spec.n_features
-    d_table = []
-    d_pos = jnp.zeros(pos.shape, jnp.float32)
-    for l in range(spec.n_levels):
-        idx, weights = _level_indices(pos, l, spec)  # (N,8), (N,8)
-        g_l = g[:, l * f : (l + 1) * f]  # (N, F)
+    n = pos.shape[0]
+    lc = spec.level_constants()
+    g_levels = g.reshape(n, spec.n_levels, f).transpose(1, 0, 2)  # (L, N, F)
+
+    def body(_, xs):
+        tbl_l, g_l, scale, res, dense, size = xs
+        idx, weights = _corner_indices_weights(pos, scale, res, dense, size)
         contrib = (weights[..., None] * g_l[:, None, :]).astype(jnp.bfloat16)  # (N,8,F)
-        d_l = jnp.zeros((spec.sizes[l], f), jnp.bfloat16).at[idx.reshape(-1)].add(contrib.reshape(-1, f))
-        d_table.append(d_l.astype(table[l].dtype))
-
-        # d(out)/d(pos): sum over corners of feats * d(weights)/d(pos)
-        # (dead-code-eliminated by XLA when the pos cotangent is unused)
-        feats = table[l].astype(jnp.bfloat16)[idx].astype(jnp.float32)  # (N,8,F)
+        d_l = (
+            jnp.zeros((spec.padded_size, f), jnp.bfloat16)
+            .at[idx.reshape(-1)]
+            .add(contrib.reshape(-1, f))
+        )
+        # d(out)/d(pos): DCE'd by XLA when the pos cotangent is unused
+        feats = tbl_l.astype(jnp.bfloat16)[idx].astype(jnp.float32)
         per_corner = jnp.sum(feats * g_l[:, None, :], axis=-1)  # (N,8)
-        dw = _level_weight_grads(pos, l, spec)  # (N,8,3)
-        d_pos = d_pos + jnp.sum(per_corner[..., None] * dw, axis=1)
-    return d_table, d_pos
+        dw = _weight_grads(pos, scale)  # (N,8,3)
+        return None, (d_l.astype(table.dtype), jnp.sum(per_corner[..., None] * dw, axis=1))
+
+    _, (d_table, d_pos_levels) = jax.lax.scan(
+        body, None, (table, g_levels, lc["scale"], lc["res"], lc["dense"], lc["size"])
+    )
+    return d_table, jnp.sum(d_pos_levels, axis=0)
 
 
-def _level_weight_grads(pos, level: int, spec: HashGridSpec):
-    """d(trilinear corner weight)/d(pos), (N, 8, 3)."""
-    scale = spec.scales[level]
+def _weight_grads(pos, scale):
+    """d(trilinear corner weight)/d(pos), (N, 8, 3); scale is a traced scalar."""
     scaled = pos * scale + 0.5
     frac = scaled - jnp.floor(scaled)
     corners = jnp.asarray(_CORNERS, bool)  # (8,3)

@@ -62,13 +62,23 @@ def composite_rays(
     acc_before = excl_cumsum - seg_start[ray_ids]  # sum of sigma*dt of prior samples in ray
     trans = jnp.exp(-acc_before)
 
-    include = valid & (trans >= transmittance_threshold)
+    include = jnp.where(valid & (trans >= transmittance_threshold), 1.0, 0.0)
     alpha = 1.0 - jnp.exp(-sdt)
-    weight = jnp.where(include, alpha * trans, 0.0)
+    weight = include * alpha * trans
 
-    rgb_ray = jax.ops.segment_sum(weight[:, None] * rgb, ray_ids, n_rays, indices_are_sorted=True)
-    n_included = jax.ops.segment_sum(include.astype(jnp.int32), ray_ids, n_rays, indices_are_sorted=True)
-    trans_end = jnp.exp(-jax.ops.segment_sum(jnp.where(include, sdt, 0.0), ray_ids, n_rays, indices_are_sorted=True))
+    # ONE fused per-ray reduction: [w*rgb (3), include count, included sdt].
+    # Three separate segment_sums over the same indices tempt XLA's scatter
+    # combiner into a variadic scatter that crashes the TPU fusion pass
+    # (scatter_emitter.cc operand_indices check); one wide payload avoids it
+    # and is cheaper anyway.
+    payload = jnp.concatenate(
+        [weight[:, None] * rgb, include[:, None], (include * sdt)[:, None]], axis=-1
+    )
+    seg = jax.ops.segment_sum(payload, ray_ids, n_rays, indices_are_sorted=True)
+    rgb_ray = seg[:, :3]
+    n_included = seg[:, 3].astype(jnp.int32)
+    trans_end = jnp.exp(-seg[:, 4])
+    include = include > 0
 
     exhausted = n_included == counts
     bg = jnp.broadcast_to(jnp.asarray(background, jnp.float32), (n_rays, 3))

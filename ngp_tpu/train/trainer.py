@@ -354,19 +354,23 @@ class TrainingLoop:
         self.training_prep_ms = (time.perf_counter() - t0) * 1e3
 
         t0 = time.perf_counter()
-        call_fn = self.trainer.train_call(self.n_rays_per_batch, self.capacity, n_training_steps)
+        # per-step dispatch: measured gap-free on the axon runtime, and the
+        # 16-step scanned variant (train_call) currently exceeds HBM — the
+        # single step already peaks ~8 GB of temp at 2^19 capacity.
+        step_fn = self.trainer.train_step(self.n_rays_per_batch, self.capacity)
         ds = self.dataset
-        if self.i_step == 0:
-            self.n_rays_total = 0
-        shift = self.n_rays_total
-        self.n_rays_total += self.n_rays_per_batch * n_training_steps
-        # one jitted call runs all inner steps (lax.scan); shift as a device
-        # scalar so fresh python ints don't retrace
-        state, stats = call_fn(state, ds.images, ds.xforms, jnp.asarray(ds.focal_length), jnp.uint32(shift))
-        self.i_step += n_training_steps
+        all_stats = []
+        for _ in range(n_training_steps):
+            if self.i_step == 0:
+                self.n_rays_total = 0
+            shift = self.n_rays_total
+            self.n_rays_total += self.n_rays_per_batch
+            state, stats = step_fn(state, ds.images, ds.xforms, jnp.asarray(ds.focal_length), jnp.uint32(shift))
+            all_stats.append(stats)
+            self.i_step += 1
 
         # single D->H sync for telemetry (testbed.cu:266-289)
-        stats = jax.device_get(stats)
+        stats = jax.tree_util.tree_map(lambda *xs: np.stack(xs), *jax.device_get(all_stats))
         self.training_ms = (time.perf_counter() - t0) * 1e3
 
         measured = float(np.mean(stats["measured_batch_size"]))

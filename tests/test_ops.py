@@ -94,21 +94,21 @@ def test_hash_encode_interpolates_dense_level():
     cfg = HashEncodingConfig(n_levels=1, n_features_per_level=2, log2_hashmap_size=12, base_resolution=5, per_level_scale=1.0)
     spec = HashGridSpec.create(cfg)
     res, scale = spec.resolutions[0], spec.scales[0]  # res=5, scale=4
-    table = [jnp.asarray(np.random.default_rng(0).normal(size=(spec.sizes[0], 2)), jnp.float32)]
+    table = jnp.asarray(np.random.default_rng(0).normal(size=(1, spec.padded_size, 2)), jnp.float32)
 
     # scaled = pos*scale + 0.5, so grid vertex v sits at pos = (v - 0.5)/scale
     pos = jnp.array([[0.5 / scale, 1.5 / scale, 2.5 / scale]])
     out = np.asarray(hash_encode(table, pos, spec))[0]
     vertex_idx = 1 + 2 * res + 3 * res * res
     # forward gathers a bf16 view of the table -> bf16-level tolerance
-    np.testing.assert_allclose(out, np.asarray(table[0])[vertex_idx], rtol=1e-2, atol=1e-3)
+    np.testing.assert_allclose(out, np.asarray(table)[0, vertex_idx], rtol=1e-2, atol=1e-3)
 
     # x midway between vertices 1 and 2, y/z exactly on vertices 1/1
     pos = jnp.array([[1.0 / scale, 0.5 / scale, 0.5 / scale]])
     out = np.asarray(hash_encode(table, pos, spec))[0]
     i1 = 1 + 1 * res + 1 * res * res
     i2 = 2 + 1 * res + 1 * res * res
-    expect = 0.5 * (np.asarray(table[0])[i1] + np.asarray(table[0])[i2])
+    expect = 0.5 * (np.asarray(table)[0, i1] + np.asarray(table)[0, i2])
     np.testing.assert_allclose(out, expect, rtol=1e-2, atol=1e-3)
 
 
@@ -121,23 +121,23 @@ def test_hash_encode_grad_is_scatter_add():
         return jnp.sum(hash_encode(tbl, pos, spec) ** 2)
 
     g = jax.grad(f)(table)
-    assert [x.shape for x in g] == [x.shape for x in table]
-    assert sum(float(jnp.sum(jnp.abs(x))) for x in g) > 0
+    assert g.shape == table.shape
+    assert float(jnp.sum(jnp.abs(g))) > 0
     # numerical check on one touched entry of the last level
     lvl = spec.n_levels - 1
     touched = int(jnp.argmax(jnp.abs(g[lvl]).sum(-1)))
     eps = 1e-3
-    tp = [t if i != lvl else t.at[touched, 0].add(eps) for i, t in enumerate(table)]
-    tm = [t if i != lvl else t.at[touched, 0].add(-eps) for i, t in enumerate(table)]
+    tp = table.at[lvl, touched, 0].add(eps)
+    tm = table.at[lvl, touched, 0].add(-eps)
     fd = (f(tp) - f(tm)) / (2 * eps)
-    np.testing.assert_allclose(float(g[lvl][touched, 0]), float(fd), rtol=2e-2, atol=1e-5)
+    np.testing.assert_allclose(float(g[lvl, touched, 0]), float(fd), rtol=2e-2, atol=1e-5)
 
 
 def test_hash_encode_pos_gradient():
     """custom_vjp's analytic d/dpos vs finite differences."""
     spec = _tiny_spec()
     rng = np.random.default_rng(3)
-    table = [jnp.asarray(rng.normal(size=(s_, 2)), jnp.float32) for s_ in spec.sizes]
+    table = jnp.asarray(rng.normal(size=(spec.n_levels, spec.padded_size, 2)), jnp.float32)
     pos = jnp.asarray([[0.31, 0.62, 0.47]], jnp.float32)
 
     def f(p):
@@ -156,7 +156,7 @@ def test_hash_encode_continuity_across_cell():
     """Encoding is continuous at cell boundaries (trilerp correctness)."""
     spec = _tiny_spec()
     rng = np.random.default_rng(2)
-    table = [jnp.asarray(rng.normal(size=(s_, 2)), jnp.float32) for s_ in spec.sizes]
+    table = jnp.asarray(rng.normal(size=(spec.n_levels, spec.padded_size, 2)), jnp.float32)
     p = 0.37
     eps = 1e-6
     a = hash_encode(table, jnp.array([[p - eps, 0.4, 0.6]]), spec)
