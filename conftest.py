@@ -7,7 +7,9 @@ hardware is exercised separately by the driver's dryrun and bench).
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# force (not setdefault): the environment may pin JAX_PLATFORMS to a real
+# accelerator (e.g. the axon TPU tunnel); tests must run on the fake mesh
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()

@@ -100,4 +100,8 @@ def compute_error(metric: str, a, b):
     fns = {"MSE": mse, "MAE": mae, "MAPE": mape, "SMAPE": smape, "MRSE": mrse, "SSIM": ssim, "PSNR": psnr}
     if metric == "LPIPS":
         return lpips(a, b)
+    if metric == "FLIP":
+        from ngp_tpu.flip import flip
+
+        return flip(a, b)
     return fns[metric](np.asarray(a, np.float64), np.asarray(b, np.float64))

@@ -189,8 +189,19 @@ def make_dp_grid_update(trainer: Trainer, mesh: Mesh, n_uniform: int, n_nonunifo
         k_local = jax.random.fold_in(k_grid, axis)
         pos, idx = sample_grid_positions(scfg, state.grid.density, k_local, nu, nn, state.grid.step)
         warped = aabb.relative_pos(pos)
-        raw = model.density_raw(state.params, warped)[:, 0]
-        dens = apply_density_activation(raw, trainer.density_activation)
+
+        n_total = nu + nn
+        chunk = min(1 << 18, n_total)
+        n_chunks = -(-n_total // chunk)
+        pad = n_chunks * chunk - n_total
+        wp = jnp.pad(warped, ((0, pad), (0, 0))) if pad else warped
+
+        def body(_, p):
+            raw = model.density_raw(state.params, p)[:, 0]
+            return None, apply_density_activation(raw, trainer.density_activation)
+
+        _, dens = jax.lax.scan(body, None, wp.reshape(n_chunks, chunk, 3))
+        dens = dens.reshape(-1)[:n_total]
 
         # local scatter-max splat, then pmax across chips == global atomicMax
         optical = dens * scfg.min_cone_stepsize

@@ -290,10 +290,23 @@ class Trainer:
                 scfg, state.grid.density, k_grid, n_uniform, n_nonuniform, state.grid.step
             )
             warped = aabb.relative_pos(pos)
+
             # density inference with the *training* params (testbed.cu:213-217
-            # passes use_inference_matrices=false)
-            raw = model.density_raw(state.params, warped)[:, 0]
-            dens = apply_density_activation(raw, self.density_activation)
+            # passes use_inference_matrices=false), chunked with lax.scan so
+            # the millions of grid positions don't blow up peak memory
+            n_total = n_uniform + n_nonuniform
+            chunk = min(1 << 18, n_total)
+            n_chunks = -(-n_total // chunk)
+            pad = n_chunks * chunk - n_total
+            wp = jnp.pad(warped, ((0, pad), (0, 0))) if pad else warped
+
+            def body(_, p):
+                raw = model.density_raw(state.params, p)[:, 0]
+                return None, apply_density_activation(raw, self.density_activation)
+
+            _, dens = jax.lax.scan(body, None, wp.reshape(n_chunks, chunk, 3))
+            dens = dens.reshape(-1)[:n_total]
+
             grid = splat_density_ema(scfg, state.grid, idx, dens)
             grid = update_occupancy(scfg, grid)
             return state._replace(grid=grid, rng=rng)
