@@ -14,3 +14,9 @@ flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
 os.environ.setdefault("JAX_ENABLE_X64", "0")
+
+# belt and braces: if a pytest plugin imported jax before this conftest ran,
+# the env var alone is too late — force the platform through jax.config too
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")

@@ -13,6 +13,9 @@ import time
 import numpy as np
 
 sys.path.insert(0, os.path.dirname(__file__))
+_repo_root = os.path.abspath(os.path.join(os.path.dirname(__file__), "..", "..", ".."))
+if _repo_root not in sys.path:
+    sys.path.insert(0, _repo_root)
 from common import compute_error, linear_to_srgb, mse2psnr, read_image, write_depth, write_image  # noqa: E402
 
 import ngp_tpu as ngp  # noqa: E402

@@ -229,13 +229,54 @@ def render_tile(
     return out
 
 
+@functools.partial(jax.jit, static_argnames=("config",))
+def count_render_samples(config: NGPConfig, occupancy, o, d, spp):
+    """Per-ray occupied-sample counts (+ jittered start t), whole frame."""
+    scfg = config.sampler
+    aabb = AABB.scene(scfg.aabb_scale)
+    dt = scfg.min_cone_stepsize
+    R = o.shape[0]
+    n_lat = n_lattice_points(scfg)
+
+    tmin, tmax = aabb.ray_intersect(o, d)
+    t = jnp.maximum(tmin, 0.05) + 1e-6
+    alive = aabb.contains(o + d * t[:, None])
+    i_ray = jnp.arange(R, dtype=jnp.uint32) * jnp.uint32(786433)
+    t = t + ld_random_val(jnp.uint32(spp), i_ray) * dt
+
+    def body(carry, chunk_idx):
+        taken, still = carry
+        i = chunk_idx * _CHUNK + jnp.arange(_CHUNK, dtype=jnp.float32)
+        ts = t[:, None] + i[None, :] * dt
+        pos = o[:, None, :] + ts[..., None] * d[:, None, :]
+        inside = aabb.contains(pos)
+        reachable = still[:, None] & (jnp.cumprod(inside, axis=1) > 0)
+        mip = mip_from_dt(jnp.full_like(ts, dt), pos, scfg.grid_size, scfg.n_cascades)
+        occ = occupancy_lookup(scfg, occupancy, pos, mip)
+        mask = reachable & occ & alive[:, None]
+        return (taken + jnp.sum(mask, axis=1, dtype=jnp.int32), reachable[:, -1]), None
+
+    (counts, _), _ = jax.lax.scan(
+        body, (jnp.zeros(R, jnp.int32), jnp.ones(R, bool)), jnp.arange(n_lat // _CHUNK)
+    )
+    return counts, t
+
+
 @dataclass
 class Renderer:
-    """Host-side tiler + spp accumulation driving render_tile."""
+    """Host-side tiler + spp accumulation driving render_tile.
+
+    Strategy (replaces the reference's per-iteration alive-ray compaction
+    with its host sync every round, testbed.cu:524-549): one cheap count
+    pass over the whole frame, ONE device->host sync for the per-ray counts,
+    then rays sorted by count and rendered in fixed tiles — empty tiles are
+    skipped outright and each tile's sample depth (k_cap) adapts to its own
+    maximum, so the while_loop rounds never run past the tile's real work.
+    """
 
     model: NGPModel
     config: NGPConfig
-    tile_size: int = 1 << 15
+    tile_size: int = 1 << 12
     k_cap: int = 1024
     train_in_linear_color: bool = False
     rgb_activation: str = "Logistic"
@@ -261,17 +302,27 @@ class Renderer:
         )
         d = d_cam @ cam[:, :3].T
         d /= np.linalg.norm(d, axis=-1, keepdims=True)
-        o = np.broadcast_to(cam[:, 3], d.shape)
+        o = np.broadcast_to(cam[:, 3], d.shape).copy()
 
         n_rays = o.shape[0]
-        tile = self.tile_size
-        outs = []
+        counts, _ = count_render_samples(self.config, occupancy, jnp.asarray(o), jnp.asarray(d), jnp.uint32(spp))
+        counts = np.asarray(counts)  # the frame's single D->H sync
+        order = np.argsort(-counts, kind="stable")
+
+        tile = min(self.tile_size, 1 << int(np.ceil(np.log2(max(n_rays, 1)))))
+        out = np.zeros((n_rays, 4), np.float32)
+        env_only = envmap is not None
         for s in range(0, n_rays, tile):
-            e = min(s + tile, n_rays)
+            sel = order[s : s + tile]
+            tile_max = int(counts[sel].max()) if sel.size else 0
+            if tile_max == 0 and not env_only:
+                continue  # nothing to march; framebuffer stays zero
             o_t = np.zeros((tile, 3), np.float32)
             d_t = np.ones((tile, 3), np.float32)
-            o_t[: e - s] = o[s:e]
-            d_t[: e - s] = d[s:e]
+            o_t[: sel.size] = o[sel]
+            d_t[: sel.size] = d[sel]
+            # per-tile adaptive sample depth, pow2-quantized for jit caching
+            k_cap = min(self.k_cap, max(32, 1 << int(np.ceil(np.log2(max(tile_max, 1))))))
             res = render_tile(
                 self.model,
                 self.config,
@@ -284,12 +335,11 @@ class Renderer:
                 jnp.asarray(cam[:, 3]),
                 jnp.float32(1.0 / scene_scale),
                 render_mode=render_mode,
-                k_cap=self.k_cap,
+                k_cap=k_cap,
                 train_in_linear_color=self.train_in_linear_color,
                 rgb_activation=self.rgb_activation,
                 density_activation=self.density_activation,
                 envmap=envmap,
             )
-            outs.append(res[: e - s])
-        frame = jnp.concatenate(outs, axis=0).reshape(h, w, 4)
-        return frame
+            out[sel] = np.asarray(res)[: sel.size]
+        return jnp.asarray(out.reshape(h, w, 4))
