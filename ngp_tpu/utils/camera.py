@@ -37,6 +37,77 @@ def opengl_to_opencv(pose, scale, offset):
     return out[..., jnp.array([1, 2, 0]), :]
 
 
+def _so3_log(rot):
+    """Rotation matrix (3,3) -> axis-angle vector (numpy)."""
+    cos = np.clip((np.trace(rot) - 1.0) / 2.0, -1.0, 1.0)
+    theta = np.arccos(cos)
+    if theta < 1e-8:
+        return np.zeros(3)
+    w = (
+        np.array([rot[2, 1] - rot[1, 2], rot[0, 2] - rot[2, 0], rot[1, 0] - rot[0, 1]])
+        * theta
+        / (2.0 * np.sin(theta))
+    )
+    return w
+
+
+def _so3_exp(w):
+    theta = np.linalg.norm(w)
+    k = np.array([[0, -w[2], w[1]], [w[2], 0, -w[0]], [-w[1], w[0], 0]])
+    if theta < 1e-8:
+        return np.eye(3) + k
+    return np.eye(3) + np.sin(theta) / theta * k + (1 - np.cos(theta)) / theta**2 * (k @ k)
+
+
+def log_space_lerp(begin, end, t: float):
+    """Rigid-pose interpolation in SE(3) log space.
+
+    Parity with reference `log_space_lerp` (common_device.cu:32-41), which
+    takes the 4x4 matrix log of (end @ begin^-1) — for rigid camera poses
+    that equals the closed-form SE(3) log used here. Unused by the NeRF
+    pipeline (SURVEY notes it vestigial), provided for API completeness.
+    begin/end: (3, 4) camera-to-world; returns (3, 4).
+    """
+    begin = np.asarray(begin, np.float64)
+    end = np.asarray(end, np.float64)
+    a = np.eye(4)
+    a[:3, :4] = begin
+    b = np.eye(4)
+    b[:3, :4] = end
+    m = b @ np.linalg.inv(a)
+
+    w = _so3_log(m[:3, :3])
+    theta = np.linalg.norm(w)
+    k = np.array([[0, -w[2], w[1]], [w[2], 0, -w[0]], [-w[1], w[0], 0]])
+    if theta < 1e-8:
+        v_inv = np.eye(3) - 0.5 * k
+    else:
+        v_inv = (
+            np.eye(3)
+            - 0.5 * k
+            + (1.0 / theta**2 - (1.0 + np.cos(theta)) / (2.0 * theta * np.sin(theta))) * (k @ k)
+        )
+    u = v_inv @ m[:3, 3]
+
+    wt, ut = w * t, u * t
+    rot = _so3_exp(wt)
+    theta_t = np.linalg.norm(wt)
+    kt = np.array([[0, -wt[2], wt[1]], [wt[2], 0, -wt[0]], [-wt[1], wt[0], 0]])
+    if theta_t < 1e-8:
+        v = np.eye(3) + 0.5 * kt
+    else:
+        v = (
+            np.eye(3)
+            + (1 - np.cos(theta_t)) / theta_t**2 * kt
+            + (theta_t - np.sin(theta_t)) / theta_t**3 * (kt @ kt)
+        )
+    mt = np.eye(4)
+    mt[:3, :3] = rot
+    mt[:3, 3] = v @ ut
+    out = mt @ a
+    return out[:3, :4].astype(np.float32)
+
+
 def pixel_to_rays(xy, resolution, focal_length, principal_point, camera_matrix):
     """Rays for normalized pixel coords `xy` in [0,1]^2, shape (..., 2).
 

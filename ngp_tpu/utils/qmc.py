@@ -94,6 +94,72 @@ def ld_random_val_2d(index, seed):
     return jnp.stack(vals, axis=-1)
 
 
+# ---------------------------------------------------------------------------
+# Direction sampling (random_val.cuh:30-135 parity: cylindrical / cosine-
+# hemisphere / Fibonacci-lattice / uniform-disc sampling)
+
+_GOLDEN_RATIO = 1.6180339887498948
+
+
+def cylindrical_to_dir(p):
+    """(..., 2) in [0,1]^2 -> unit direction (random_val.cuh:30-39)."""
+    import numpy as _np
+
+    cos_theta = -2.0 * p[..., 0] + 1.0
+    phi = 2.0 * _np.pi * (p[..., 1] - 0.5)
+    sin_theta = jnp.sqrt(jnp.maximum(1.0 - cos_theta * cos_theta, 0.0))
+    return jnp.stack([sin_theta * jnp.cos(phi), sin_theta * jnp.sin(phi), cos_theta], axis=-1)
+
+
+def dir_to_cylindrical(d):
+    """Inverse of cylindrical_to_dir (random_val.cuh:41-45)."""
+    import numpy as _np
+
+    cos_theta = jnp.clip(-d[..., 2], -1.0, 1.0)
+    phi = jnp.arctan2(d[..., 1], d[..., 0])
+    return jnp.stack([(cos_theta + 1.0) / 2.0, phi / (2.0 * _np.pi) + 0.5], axis=-1)
+
+
+def cosine_hemisphere(u):
+    """(..., 2) uniforms -> cosine-weighted hemisphere dir (cuh:113-127)."""
+    import numpy as _np
+
+    r = jnp.sqrt(u[..., 0])
+    phi = 2.0 * _np.pi * u[..., 1]
+    x = r * jnp.cos(phi)
+    y = r * jnp.sin(phi)
+    z = jnp.sqrt(jnp.maximum(0.0, 1.0 - x * x - y * y))
+    return jnp.stack([x, y, z], axis=-1)
+
+
+def fibonacci_dir(i, n_dirs: int, offset):
+    """Fibonacci-lattice direction i of n_dirs with 2-d offset (cuh:64-82)."""
+    if n_dirs >= 11000:
+        eps = 27.0
+    elif n_dirs >= 890:
+        eps = 10.0
+    elif n_dirs >= 177:
+        eps = 3.33
+    elif n_dirs >= 24:
+        eps = 1.33
+    else:
+        eps = 0.33
+    i = jnp.asarray(i, jnp.float32)
+    u = (i + eps) / (n_dirs - 1 + 2 * eps) + offset[..., 0]
+    v = i / _GOLDEN_RATIO + offset[..., 1]
+    p = jnp.stack([u - jnp.floor(u), v - jnp.floor(v)], axis=-1)
+    return cylindrical_to_dir(p)
+
+
+def random_uniform_disc(u):
+    """(..., 2) uniforms -> point on the unit disc (cuh:85-92)."""
+    import numpy as _np
+
+    r = jnp.sqrt(u[..., 0])
+    phi = 2.0 * _np.pi * u[..., 1]
+    return jnp.stack([r * jnp.sin(phi), r * jnp.cos(phi)], axis=-1)
+
+
 def ld_random_pixel_offset(spp):
     """Per-spp sub-pixel jitter in [0,1)^2, constant across pixels.
 
