@@ -70,7 +70,8 @@ class EnvmapState(NamedTuple):
 def create_envmap_state(cfg: EnvmapConfig) -> EnvmapState:
     params = jnp.zeros((cfg.height, cfg.width, 4), jnp.float32)
     tx = create_optimizer_flat(cfg.optimizer)
-    return EnvmapState(params=params, ema_params=params, opt_state=tx.init(params))
+    # distinct buffer for the EMA copy: donation rejects aliased arguments
+    return EnvmapState(params=params, ema_params=params.copy(), opt_state=tx.init(params))
 
 
 def envmap_optimizer(cfg: EnvmapConfig):
