@@ -18,7 +18,8 @@ TPU design decisions (measured on v5e):
    levels' ~100 MB temporaries concurrently (14.5 GB live set); the scan
    reuses one level's buffers. Dense low levels waste a little padding
    (~2 MB total) for a uniform scan body.
- * Forward gathers a bf16 view (halves gather traffic; weights/sums in fp32).
+ * Forward gathers the fp32 table directly (measured: f32 row-gathers are
+   2x FASTER than bf16 ones on v5e — the opposite of scatters).
  * custom_vjp backward scatter-adds bf16 contributions per level — the
    analogue of tcnn's __half2 atomicAdd backward (fp16-class mantissa, fp32
    exponent range, no loss scaling needed). Per-level (4 MB) scatter operands
@@ -150,9 +151,10 @@ def _level_indices(pos, level: int, spec: HashGridSpec):
     )
 
 
-def _hash_encode_impl(table, pos, spec: HashGridSpec, gather_dtype):
+def _hash_encode_impl(table, pos, spec: HashGridSpec, gather_dtype=jnp.float32):
+    # NOTE: gathers run on the fp32 table directly — measured on v5e, an f32
+    # row-gather is 2x FASTER than bf16 (the opposite of scatters).
     lc = spec.level_constants()
-    tbl = table.astype(gather_dtype)
 
     def body(_, xs):
         tbl_l, scale, res, dense, size = xs
@@ -160,7 +162,7 @@ def _hash_encode_impl(table, pos, spec: HashGridSpec, gather_dtype):
         feats = tbl_l[idx].astype(jnp.float32)  # (N, 8, F)
         return None, jnp.sum(feats * weights[..., None], axis=1)  # (N, F)
 
-    _, outs = jax.lax.scan(body, None, (tbl, lc["scale"], lc["res"], lc["dense"], lc["size"]))
+    _, outs = jax.lax.scan(body, None, (table, lc["scale"], lc["res"], lc["dense"], lc["size"]))
     # (L, N, F) -> (N, L*F) level-major features
     return jnp.transpose(outs, (1, 0, 2)).reshape(pos.shape[0], spec.n_output_dims)
 
@@ -168,7 +170,7 @@ def _hash_encode_impl(table, pos, spec: HashGridSpec, gather_dtype):
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
 def hash_encode(table, pos, spec: HashGridSpec):
     """table: (L, T_pad, F); pos: (N, 3) in [0,1] -> (N, L*F) fp32."""
-    return _hash_encode_impl(table, pos, spec, jnp.bfloat16)
+    return _hash_encode_impl(table, pos, spec)
 
 
 def _hash_encode_fwd(table, pos, spec: HashGridSpec):
@@ -192,7 +194,7 @@ def _hash_encode_bwd(spec: HashGridSpec, res_, g):
             .add(contrib.reshape(-1, f))
         )
         # d(out)/d(pos): DCE'd by XLA when the pos cotangent is unused
-        feats = tbl_l.astype(jnp.bfloat16)[idx].astype(jnp.float32)
+        feats = tbl_l[idx]
         per_corner = jnp.sum(feats * g_l[:, None, :], axis=-1)  # (N,8)
         dw = _weight_grads(pos, scale)  # (N,8,3)
         return None, (d_l.astype(table.dtype), jnp.sum(per_corner[..., None] * dw, axis=1))
