@@ -103,6 +103,19 @@ class NGPModel:
         return heads({"density_mlp": params["density_mlp"], "rgb_mlp": params["rgb_mlp"]}, enc, sh)
 
 
+    def input_gradient(self, params, pos, density_activation: str = "Exponential"):
+        """d(density)/d(warped pos), (N, 3) — parity with reference
+        NGPNetwork::input_gradient for output dim 3 (ngp_network.h; used by
+        the Normals render mode, testbed.cu:558-559). Flows through the hash
+        encoding's analytic trilinear derivative."""
+
+        def sigma_sum(p):
+            raw = self.density_raw(params, p)[..., 0]
+            return jnp.sum(apply_density_activation(raw, density_activation))
+
+        return jax.grad(sigma_sum)(pos)
+
+
 # ------------------------------------------------------------ transfer fns
 # Reference: common_device.h:292-342. Defaults: density Exponential with
 # clamped inputs; rgb Logistic.

@@ -150,14 +150,8 @@ def render_tile(
 
         if render_mode == "Normals":
             # d(sigma)/d(pos): the normal points down the density gradient
-            # (volume_rendering_kernel cu:260-265; the reference gets
-            # d(raw)/d(input) from input_gradient() and multiplies by the
-            # activation derivative — jax.grad of sigma is the same product)
-            def sigma_sum(p):
-                raw = model.density_raw(params, p)[..., 0]
-                return jnp.sum(apply_density_activation(raw, density_activation))
-
-            grad_pos = jax.grad(sigma_sum)(pos_w)
+            # (volume_rendering_kernel cu:260-265)
+            grad_pos = model.input_gradient(params, pos_w, density_activation)
             n = -grad_pos / jnp.maximum(jnp.linalg.norm(grad_pos, axis=-1, keepdims=True), 1e-12)
             rgb = n.reshape(R, _ROUND, 3)
         elif render_mode == "Depth":

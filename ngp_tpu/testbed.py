@@ -188,6 +188,16 @@ class Testbed:
         f = float(np.asarray(fov_to_focal_length(1, val)))
         self.rendering_buffer.relative_focal_length = (f, f)
 
+    @property
+    def fov_xy(self):
+        rb = self.rendering_buffer
+        return tuple(float(v) for v in np.asarray(focal_length_to_fov(np.ones(2), np.asarray(rb.relative_focal_length))))
+
+    @fov_xy.setter
+    def fov_xy(self, val):
+        f = np.asarray(fov_to_focal_length(np.ones(2), np.asarray(val, np.float32)))
+        self.rendering_buffer.relative_focal_length = (float(f[0]), float(f[1]))
+
     def set_nerf_camera_matrix(self, cam):
         """OpenGL nerf pose -> scene-convention camera (testbed.h:86-88)."""
         cam = np.asarray(cam, np.float32).reshape(3, 4)
