@@ -75,21 +75,26 @@ def _chunk_mask(cfg: SamplerConfig, aabb: AABB, occupancy, o, d, startt, chunk_s
     return mask, t, ordinal, reachable[:, -1]
 
 
-def count_samples(cfg: SamplerConfig, aabb: AABB, occupancy, o, d, startt, n_lattice: int):
+def count_samples(cfg: SamplerConfig, aabb: AABB, occupancy, o, d, startt, n_lattice: int, return_masks: bool = False):
     """Pass 1: per-ray occupied-sample counts (R,) int32.
 
     Mirrors the reference's first marching pass (occupancy_sampler.cu:389-407).
+    With return_masks=True also returns the (R, n_lattice) occupied mask so
+    pass 2 can skip re-doing the occupancy gathers (1 byte/lattice point).
     """
 
     def body(carry, chunk_idx):
         taken, still = carry
         mask, _, _, still = _chunk_mask(cfg, aabb, occupancy, o, d, startt, chunk_idx * _CHUNK, taken, still)
-        return (taken + jnp.sum(mask, axis=1, dtype=jnp.int32), still), None
+        return (taken + jnp.sum(mask, axis=1, dtype=jnp.int32), still), (mask if return_masks else None)
 
     R = o.shape[0]
-    (taken, _), _ = jax.lax.scan(
+    (taken, _), masks = jax.lax.scan(
         body, (jnp.zeros(R, jnp.int32), jnp.ones(R, bool)), jnp.arange(n_lattice // _CHUNK)
     )
+    if return_masks:
+        # (n_chunks, R, CHUNK) -> (R, n_lattice)
+        return taken, jnp.transpose(masks, (1, 0, 2)).reshape(R, n_lattice)
     return taken
 
 
@@ -104,6 +109,7 @@ def scatter_samples(
     ray_valid,
     n_lattice: int,
     capacity: int,
+    masks=None,
 ):
     """Pass 2: scatter each ray's occupied samples into flat [capacity] buffers.
 
@@ -114,6 +120,9 @@ def scatter_samples(
     UNWARPED (the network never consumes dt — the reference's encodings read
     only dims 0-2 and 4-6 of the Coordinate struct, ngp_network.h:244-253 —
     while the composite needs the real step size).
+
+    `masks` (R, n_lattice), from count_samples(return_masks=True), skips the
+    second round of occupancy gathers.
     """
     dt = cfg.min_cone_stepsize
     R = o.shape[0]
@@ -125,7 +134,14 @@ def scatter_samples(
 
     def body(carry, chunk_idx):
         taken, still, flat = carry
-        mask, t, ordinal, still = _chunk_mask(cfg, aabb, occupancy, o, d, startt, chunk_idx * _CHUNK, taken, still)
+        if masks is not None:
+            cmask = jax.lax.dynamic_slice(masks, (0, chunk_idx * _CHUNK), (R, _CHUNK))
+            i = chunk_idx * _CHUNK + jnp.arange(_CHUNK, dtype=jnp.float32)
+            t = startt[:, None] + i[None, :] * dt
+            ordinal = taken[:, None] + jnp.cumsum(cmask, axis=1) - cmask.astype(jnp.int32)
+            mask = cmask
+        else:
+            mask, t, ordinal, still = _chunk_mask(cfg, aabb, occupancy, o, d, startt, chunk_idx * _CHUNK, taken, still)
         mask = mask & ray_valid[:, None]
         dest = base[:, None] + ordinal  # (R, CHUNK)
         dest = jnp.where(mask, dest, capacity)  # out-of-range drops in scatter

@@ -91,7 +91,8 @@ def generate_training_batch(
     startt = tmin + dt * jax.random.uniform(k_jitter, (n_rays,))
     hits = tmin < tmax
 
-    counts = count_samples(cfg, aabb, occupancy, o, d, startt, n_lattice)
+    counts, masks = count_samples(cfg, aabb, occupancy, o, d, startt, n_lattice, return_masks=True)
+    masks = masks & hits[:, None]
     counts = jnp.where(hits, counts, 0)
     ray_valid = counts > 0
     base = jnp.cumsum(counts) - counts  # exclusive prefix (cu:413 atomicAdd)
@@ -99,7 +100,7 @@ def generate_training_batch(
     ray_valid = ray_valid & (base + counts <= capacity)  # cu:414-416 overflow drop
 
     pos, dirs, dts, ray_ids, valid = scatter_samples(
-        cfg, aabb, occupancy, o, d, startt, base, ray_valid, n_lattice, capacity
+        cfg, aabb, occupancy, o, d, startt, base, ray_valid, n_lattice, capacity, masks=masks
     )
 
     rgba = read_rgba(images, xy, img)
