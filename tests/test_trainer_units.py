@@ -1,0 +1,61 @@
+"""Trainer-layer units: LR schedule, param EMA, rgb-target composition."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from ngp_tpu.train.optimizer import ema_update, lr_factor
+from ngp_tpu.train.trainer import compute_rgb_target
+from ngp_tpu.utils.color import linear_to_srgb
+from ngp_tpu.utils.config import OptimizerConfig
+
+
+def test_lr_factor_stepped_decay():
+    cfg = OptimizerConfig(decay_start=20000, decay_interval=10000, decay_base=0.33)
+    # parity with tcnn ExponentialDecay: base^(1 + (step-start)//interval)
+    assert float(lr_factor(0, cfg)) == 1.0
+    assert float(lr_factor(19999, cfg)) == 1.0
+    np.testing.assert_allclose(float(lr_factor(20000, cfg)), 0.33, rtol=1e-6)
+    np.testing.assert_allclose(float(lr_factor(29999, cfg)), 0.33, rtol=1e-6)
+    np.testing.assert_allclose(float(lr_factor(30000, cfg)), 0.33**2, rtol=1e-6)
+
+
+def test_ema_update():
+    ema = {"w": jnp.asarray([1.0, 2.0])}
+    p = {"w": jnp.asarray([3.0, 4.0])}
+    out = ema_update(ema, p, 0.95)
+    np.testing.assert_allclose(np.asarray(out["w"]), [1.0 * 0.95 + 3.0 * 0.05, 2.0 * 0.95 + 4.0 * 0.05], rtol=1e-6)
+
+
+def test_rgb_target_linear_colorspace_trains_in_srgb():
+    """Default path (color_space=Linear, train_in_linear=False): blend in
+    linear, then target AND background converted to sRGB
+    (ray_marcher.cu:107-113)."""
+    rgba = jnp.asarray([[0.2, 0.3, 0.4, 0.5]])  # premultiplied linear
+    bg = jnp.asarray([0.6, 0.6, 0.6])  # linear
+    target, bg_out = compute_rgb_target(rgba, bg, "Linear", False)
+    expect = np.asarray(linear_to_srgb(jnp.asarray([0.2 + 0.5 * 0.6, 0.3 + 0.5 * 0.6, 0.4 + 0.5 * 0.6])))
+    np.testing.assert_allclose(np.asarray(target)[0], expect, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(bg_out), np.asarray(linear_to_srgb(bg)), rtol=1e-5)
+
+
+def test_rgb_target_true_linear_training():
+    rgba = jnp.asarray([[0.2, 0.3, 0.4, 0.5]])
+    bg = jnp.asarray([0.6, 0.6, 0.6])
+    target, bg_out = compute_rgb_target(rgba, bg, "Linear", True)
+    np.testing.assert_allclose(np.asarray(target)[0], [0.5, 0.6, 0.7], rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(bg_out), np.asarray(bg), rtol=1e-6)
+
+
+def test_rgb_target_srgb_blend():
+    """nerf_compatibility: blend in sRGB space (ray_marcher.cu:114-121)."""
+    rgba = jnp.asarray([[0.2, 0.3, 0.4, 0.5]])
+    bg = jnp.asarray([0.6, 0.6, 0.6])
+    target, bg_out = compute_rgb_target(rgba, bg, "SRGB", False)
+    bg_srgb = np.asarray(linear_to_srgb(bg))
+    straight = np.asarray(linear_to_srgb(jnp.asarray([0.4, 0.6, 0.8])))  # rgb/alpha
+    expect = straight * 0.5 + 0.5 * bg_srgb
+    np.testing.assert_allclose(np.asarray(target)[0], expect, rtol=1e-5)
+    # zero-alpha pixels fall back to the background entirely
+    rgba0 = jnp.asarray([[0.0, 0.0, 0.0, 0.0]])
+    target0, _ = compute_rgb_target(rgba0, bg, "SRGB", False)
+    np.testing.assert_allclose(np.asarray(target0)[0], bg_srgb, rtol=1e-5)
