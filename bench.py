@@ -32,6 +32,12 @@ def main():
     import jax
     import numpy as np
 
+    try:  # persist compiled executables across bench runs (big warmup saver)
+        jax.config.update("jax_compilation_cache_dir", "/tmp/ngp_tpu_jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    except Exception as e:  # cache is an optimization only
+        print(f"# compilation cache unavailable: {e}", file=sys.stderr)
+
     from ngp_tpu.data.synthetic import write_synthetic_dataset
     from ngp_tpu.testbed import Testbed
 

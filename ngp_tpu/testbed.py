@@ -165,6 +165,11 @@ class Testbed:
         if self._loop is None:
             raise RuntimeError("load_training_data must be called before train()")
         self._trainer.target_batch_size = target_batch_size
+        # runtime-tweakable attributes (python_api.cu read/write properties);
+        # the trainer bakes them into compiled steps keyed on their values
+        self._trainer.loss_type = self.loss_type
+        self._trainer.color_space = self.color_space
+        self._trainer.background_color = tuple(self.background_color[:3])
         self._loop.i_step = self.training_buffer.i_step
         self._state = self._loop.train(self._state, n_training_steps)
         lb = self._loop

@@ -90,6 +90,7 @@ class Trainer:
     density_activation: str = "Exponential"  # testbed.h:114
     background_color: tuple = (0.0, 0.0, 0.0)  # testbed.h:116 (srgb)
     color_space: str = "Linear"  # testbed.h:117
+    loss_type: str = ""  # defaults to config.loss; runtime-tweakable
     target_batch_size: int = 1 << 18
     sample_capacity: int = 1 << 19  # flat sample buffer (static shape)
     mesh: Any = None  # jax.sharding.Mesh -> data-parallel steps
@@ -185,7 +186,7 @@ class Trainer:
                     rgb_target,
                     bg_composite,
                     n_rays_denom=n_rays,
-                    loss_type=cfg.loss,
+                    loss_type=self.loss_type or cfg.loss,
                     transmittance_threshold=cfg.render.transmittance_threshold,
                     rgb_activation=self.rgb_activation,
                     density_activation=self.density_activation,
@@ -234,12 +235,23 @@ class Trainer:
 
         return step_fn
 
+    def _semantic_key(self):
+        """Runtime-tweakable attributes baked into traced steps; any change
+        must compile a fresh step (python_api.cu exposes these read/write)."""
+        return (
+            self.loss_type,
+            self.color_space,
+            tuple(self.background_color),
+            self.rgb_activation,
+            self.density_activation,
+        )
+
     def train_call(self, n_rays: int, capacity: int, n_steps: int):
         """One jitted call running `n_steps` inner steps via lax.scan —
         collapses per-step host dispatches (expensive through a remote
         device tunnel) into one. Mirrors the reference's 16-step train()
         granularity (testbed.cu:255-263)."""
-        key = ("call", n_rays, capacity, n_steps)
+        key = ("call", n_rays, capacity, n_steps, self._semantic_key())
         if key not in self._cache:
             if self.mesh is not None and self.mesh.devices.size > 1:
                 from ngp_tpu.parallel.mesh import make_dp_train_call
@@ -265,7 +277,7 @@ class Trainer:
         sharded over the "data" axis, grads psum'ed; parallel/mesh.py).
         """
         capacity = capacity or self.sample_capacity
-        key = ("step", n_rays, capacity)
+        key = ("step", n_rays, capacity, self._semantic_key())
         if key not in self._cache:
             if self.mesh is not None and self.mesh.devices.size > 1:
                 from ngp_tpu.parallel.mesh import make_dp_train_step
