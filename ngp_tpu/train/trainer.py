@@ -333,7 +333,7 @@ class Trainer:
             shape = (n_total // 4, n_total // 4)
         else:
             shape = (n_total, 0)
-        key = ("grid", shape)
+        key = ("grid", shape, self.density_activation)
         if key not in self._cache:
             if self.mesh is not None and self.mesh.devices.size > 1:
                 from ngp_tpu.parallel.mesh import make_dp_grid_update
