@@ -362,11 +362,11 @@ class TrainingLoop:
 
     @staticmethod
     def _quantize_n_rays(n: int) -> int:
-        """Round to the nearest power of two, in [2^10, 2^18] (cap:
+        """Round to the nearest power of two, in [2^8, 2^18] (cap:
         testbed.cu:293). Quantization bounds the number of distinct jit
-        shapes to 9; nearest (not floor) so the controller can actually
+        shapes to 11; nearest (not floor) so the controller can actually
         grow the ray count toward the target batch."""
-        n = max(1 << 10, min(n, 1 << 18))
+        n = max(1 << 8, min(n, 1 << 18))
         return 1 << int(round(np.log2(n)))
 
     def train(self, state: TrainState, n_training_steps: int = 16):
