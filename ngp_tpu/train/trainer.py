@@ -409,11 +409,15 @@ class TrainingLoop:
         loss_sum = float(np.sum(stats["loss_sum"])) / self.n_rays_per_batch
         self.loss_scalar = loss_sum / n_training_steps * (measured / target)
 
-        # adaptive ray count (testbed.cu:292-293), quantized for jit caching
+        # adaptive ray count (testbed.cu:292-293), pow2-quantized for jit
+        # caching; pick the pow2 whose EXPECTED measured batch lands closest
+        # to the target (plain nearest-pow2 of the rounded-up ray count has a
+        # stable fixed point ~1.7x above target)
         old_n_rays = self.n_rays_per_batch
-        n_rays = int(old_n_rays * target / measured)
-        n_rays = -(-n_rays // BATCH_SIZE_MULTIPLE) * BATCH_SIZE_MULTIPLE
-        self.n_rays_per_batch = self._quantize_n_rays(n_rays)
+        per_ray = measured / old_n_rays
+        lo = self._quantize_n_rays(max(int(target / per_ray), 1))
+        candidates = {lo, min(lo * 2, 1 << 18), max(lo // 2, 1 << 8)}
+        self.n_rays_per_batch = min(candidates, key=lambda n: abs(n * per_ray - target))
 
         # adaptive flat-sample capacity: every buffer slot is fwd+bwd work,
         # so oversizing wastes step time linearly. Size for the *next* call's
