@@ -56,6 +56,11 @@ class Testbed:
     def __init__(self, use_mesh: bool = False):
         """use_mesh=True trains data-parallel over all visible devices
         (ngp_tpu/parallel/mesh.py) — the scaling layer the reference lacks."""
+        try:  # persist compiled executables across processes (cheap warmups)
+            jax.config.update("jax_compilation_cache_dir", "/tmp/ngp_tpu_jax_cache")
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+        except Exception:
+            pass
         self._use_mesh = use_mesh
         self.seed = 43
         self.background_color = [0.0, 0.0, 0.0, 1.0]  # sRGB (testbed.h:116)
