@@ -23,13 +23,13 @@ import ngp_tpu as ngp  # noqa: E402
 
 def parse_args():
     parser = argparse.ArgumentParser()
-    parser.add_argument("--scene", "--training_data", default="", help="The scene to load. A path to the training data.")
-    parser.add_argument("--network", default="", help="Path to the network config.")
-    parser.add_argument("--load_snapshot", default="", help="Load this snapshot before training. recommended extension: .msgpack")
-    parser.add_argument("--save_snapshot", default="", help="Save this snapshot after training. recommended extension: .msgpack")
-    parser.add_argument("--nerf_compatibility", action="store_true", help="Matches parameters with original NeRF.")
-    parser.add_argument("--test_transforms", default="", help="Path to a nerf style transforms json from which we will compute PSNR.")
-    parser.add_argument("--n_steps", type=int, default=-1, help="Number of steps to train.")
+    parser.add_argument("--scene", "--training_data", default="", help="Training data to load: path to a scene directory (or its transforms json).")
+    parser.add_argument("--network", default="", help="Model config json, e.g. config/base.json (required unless resuming from a snapshot).")
+    parser.add_argument("--load_snapshot", default="", help="Resume from this snapshot file (.msgpack) before training.")
+    parser.add_argument("--save_snapshot", default="", help="Write a snapshot file (.msgpack) here after training.")
+    parser.add_argument("--nerf_compatibility", action="store_true", help="Use original-NeRF conventions (sRGB color space, blend in sRGB).")
+    parser.add_argument("--test_transforms", default="", help="Evaluate on this transforms json (renders each frame, reports PSNR/SSIM/LPIPS).")
+    parser.add_argument("--n_steps", type=int, default=-1, help="Train for this many steps (default: 50000 unless resuming).")
     return parser.parse_args()
 
 

@@ -5,7 +5,8 @@ A ground-up rebuild of the capabilities of Minglin-Chen/instant-ngp-nerf-minimal
 
  * fixed-shape, masked sampling + prefix-sum compaction instead of CUDA atomics
  * closed-form t-lattice ray marching instead of divergent per-thread DDA loops
- * bf16 MXU MLPs + Pallas hash-encoding kernels instead of tiny-cuda-nn
+ * bf16 MXU MLPs + hash-encoding ops (XLA gather/scatter with Pallas TPU
+   kernels on the hot paths) instead of tiny-cuda-nn
  * optax (Adam + exponential decay + parameter EMA) instead of the tcnn Trainer
  * data-parallel training over a `jax.sharding.Mesh` (new; the reference is
    single-GPU, SURVEY.md §2.4)

@@ -16,7 +16,8 @@ here (TPU):       per ray, the occupied t-lattice samples are precompacted
                   tiles to bound memory.
 
 Render modes (ERenderMode, common.h:73-81): Shade, Depth, Distance,
-Stepsize, AO, Cost. (Normals requires input gradients — not yet implemented.)
+Stepsize, AO, Cost, and Normals (via the analytic hash-encoding input
+gradient, models/ngp.py input_gradient; exercised by tests/test_end_to_end.py).
 """
 
 import functools
