@@ -344,7 +344,150 @@ def bench_lane_route_scatter():
         print(f"lane_route_scatter: FAILED: {str(e)[:300]}")
 
 
+def bench_gather_width():
+    """Does XLA gather cost scale with row width? (pair-packing feasibility)"""
+    T, N = 1 << 19, 1 << 21
+    key = jax.random.PRNGKey(0)
+    for width, rows in ((2, N), (4, N // 2), (8, N // 4), (16, N // 8)):
+        tbl = jax.random.normal(key, (T, width), jnp.float32)
+        idx = jax.random.randint(key, (rows,), 0, T, jnp.int32)
+
+        @jax.jit
+        def f(tbl, idx):
+            return tbl[idx]
+
+        t = timeit(f, tbl, idx)
+        print(f"gather rows={rows>>10}K width={width:2d} f32: {t*1e3:6.2f} ms -> {t/rows*1e9:.2f} ns/row")
+
+
+def bench_scatter_width():
+    T, N = 1 << 19, 1 << 21
+    key = jax.random.PRNGKey(0)
+    for width, rows in ((2, N), (4, N // 2), (8, N // 4)):
+        idx = jax.random.randint(key, (rows,), 0, T, jnp.int32)
+        vals = jax.random.normal(key, (rows, width), jnp.bfloat16)
+
+        @jax.jit
+        def f(idx, vals):
+            return jnp.zeros((T, width), jnp.bfloat16).at[idx].add(vals)
+
+        t = timeit(f, idx, vals)
+        print(f"scatter rows={rows>>10}K width={width:2d} bf16: {t*1e3:6.2f} ms -> {t/rows*1e9:.2f} ns/row")
+
+
+def bench_sort_kv_scales():
+    """k-v sorts at candidate backward shapes (key idx i32, payload packed i32)."""
+    key = jax.random.PRNGKey(0)
+    for L, N in ((16, 1 << 21), (16, 1 << 20), (8, 1 << 20), (16, 1 << 18)):
+        keys = jax.random.randint(key, (L, N), 0, 1 << 19, jnp.int32)
+        pay = jax.random.randint(key, (L, N), 0, 1 << 30, jnp.int32)
+
+        @jax.jit
+        def f(k, p):
+            return jax.lax.sort((k, p), dimension=1, num_keys=1)
+
+        t = timeit(f, keys, pay)
+        print(f"sort_kv ({L},{N>>20 if N>=1<<20 else N>>10}{'M' if N>=1<<20 else 'K'}): {t*1e3:.2f} ms")
+
+
+def bench_sorted_fold_scatter():
+    """bwd candidate A (pure XLA): sort -> segment-fold equal neighbors -> scatter unique.
+
+    After a k-v sort, equal indices are adjacent; fold with a segmented
+    prefix trick then scatter with ~U<=T unique rows. Measures the whole chain.
+    """
+    T, N = 1 << 19, 1 << 21
+    key = jax.random.PRNGKey(0)
+    idx = jax.random.randint(key, (N,), 0, T, jnp.int32)
+    vals = jax.random.normal(key, (N, 2), jnp.float32)
+
+    @jax.jit
+    def f(idx, vals):
+        pack = (vals[:, 0].astype(jnp.float32), vals[:, 1].astype(jnp.float32))
+        sk, v0, v1 = jax.lax.sort((idx, pack[0], pack[1]), dimension=0, num_keys=1)
+        # run-boundary detection
+        newseg = jnp.concatenate([jnp.ones((1,), bool), sk[1:] != sk[:-1]])
+        # inclusive cumsum then pick last element of each run via next-boundary
+        c0, c1 = jnp.cumsum(v0), jnp.cumsum(v1)
+        is_last = jnp.concatenate([sk[1:] != sk[:-1], jnp.ones((1,), bool)])
+        # value of run = cumsum at last - cumsum at (previous run's last)
+        prev = jnp.where(newseg, 0.0, 1.0)  # placeholder to keep ops comparable
+        run_sum0 = jnp.where(is_last, c0, 0.0)
+        run_sum1 = jnp.where(is_last, c1, 0.0)
+        # scatter only last-of-run rows (others dropped via index=T)
+        dest = jnp.where(is_last, sk, T)
+        out = jnp.zeros((T, 2), jnp.float32).at[dest].add(
+            jnp.stack([run_sum0, run_sum1], -1), mode="drop"
+        )
+        return out
+
+    t = timeit(f, idx, vals)
+    print(f"sorted_fold_scatter (1 level, 2M): {t*1e3:.2f} ms  (x16 = {16*t*1e3:.0f} ms)")
+
+
+def bench_dyn_gather_single_vreg():
+    """Confirm single-vreg-source dynamic_gather works + throughput."""
+    S = 4096
+    REPS = 64
+
+    def kern(tbl_ref, idx_ref, o_ref):
+        acc = jnp.zeros((S, 128), jnp.float32)
+        tbl = tbl_ref[:]  # (8, 128)
+        for r in range(REPS):
+            acc = acc + jnp.take_along_axis(tbl, idx_ref[r] % 8, axis=0)
+        o_ref[:] = acc
+
+    f = jax.jit(
+        pl.pallas_call(
+            kern,
+            out_shape=jax.ShapeDtypeStruct((S, 128), jnp.float32),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        )
+    )
+    key = jax.random.PRNGKey(0)
+    tbl = jax.random.normal(key, (8, 128), jnp.float32)
+    idx = jax.random.randint(key, (REPS, S, 128), 0, 8, jnp.int32)
+    try:
+        t = timeit(f, tbl, idx)
+        n = REPS * S * 128
+        print(f"dyn_gather_1vreg: OK {t*1e3:.3f} ms for {n} elems -> {n/t/1e9:.1f} Gelem/s")
+    except Exception as e:
+        print(f"dyn_gather_1vreg: FAILED {str(e)[-300:]}")
+
+
+def bench_composite_dense():
+    """Projected composite cost in the dense (R,S) layout: two 262K-row
+    gathers + cumsum/exp/weighted reductions."""
+    R, S, N = 4096, 64, 1 << 18
+    key = jax.random.PRNGKey(0)
+    flat = jax.random.normal(key, (N, 4), jnp.float32)
+    src = jax.random.randint(key, (R, S), 0, N, jnp.int32)
+    inv = jax.random.randint(key, (N,), 0, R * S, jnp.int32)
+
+    @jax.jit
+    def f(flat, src, inv):
+        padded = flat[src]  # (R,S,4)
+        sigma_dt = jax.nn.softplus(padded[..., 3]) * 0.01
+        acc = jnp.cumsum(sigma_dt, axis=1)
+        trans = jnp.exp(-(acc - sigma_dt))
+        w = trans * (1 - jnp.exp(-sigma_dt))
+        rgb = jnp.sum(w[..., None] * padded[..., :3], axis=1)
+        # pull per-sample values back to flat order (bwd analogue)
+        back = (w.reshape(-1))[inv]
+        return rgb, back
+
+    t = timeit(f, flat, src, inv)
+    print(f"composite_dense (4096x64): {t*1e3:.2f} ms")
+
+
 ALL = {
+    "gather_width": bench_gather_width,
+    "scatter_width": bench_scatter_width,
+    "sort_kv_scales": bench_sort_kv_scales,
+    "sorted_fold": bench_sorted_fold_scatter,
+    "dyn_gather_1vreg": bench_dyn_gather_single_vreg,
+    "composite_dense": bench_composite_dense,
     "vmem": bench_vmem_probe,
     "dyn_gather": bench_dyn_gather_lowering,
     "dyn_gather_bf16": bench_dyn_gather_bf16,
