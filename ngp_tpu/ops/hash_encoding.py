@@ -9,21 +9,36 @@ al. 2022) and tcnn's grid:
  * position x in [0,1]^3 scaled to x*scale_l + 0.5; trilinear interpolation
    over the 8 surrounding integer corners
  * corner -> table index: DENSE (x + y*res + z*res^2) while res_l^3 fits in
-   the table, otherwise spatial hash (x*1 ^ y*2654435761 ^ z*805459861) mod T
+   the table, otherwise a spatial hash mod T
  * F features per level, outputs concatenated level-major -> L*F dims
 
-TPU design decisions (measured on v5e):
+Two hash variants (spec.variant):
+
+ * "xadd" (default, fast): idx = (x + (y*2654435761 ^ z*805459861)) mod T.
+   x enters ADDITIVELY, so the two corners differing only in x occupy
+   ADJACENT table rows (for dense levels the x-stride is already 1). The
+   level is then fetched through an overlapping PAIR TABLE P[i] = [tbl[i],
+   tbl[i+1 mod T]] of width 2F: each row gather returns both x-corners, so a
+   sample costs 4 gather rows per level instead of 8 — and v5e XLA gathers
+   are per-ROW instruction-bound and FLAT in width up to 4 f32 (measured
+   4.3 ns/row for w=2 and w=4; tools/mb2.py). The backward scatters 4 rows
+   of width 2F into a pair ACCUMULATOR and folds it with one roll:
+   d_tbl[i] = A[i][:F] + A[i-1 mod T][F:]. Same 2x row saving.
+ * "tcnn": idx = (x*1 ^ y*2654435761 ^ z*805459861) mod T — tiny-cuda-nn's
+   exact hash (8 corner rows per sample), kept for reference-checkpoint
+   interchange and golden parity tests.
+
+TPU design decisions (measured on v5e, tools/mb2.py + round-1 microbench):
  * The table is ONE stacked (L, T_pad, F) array and the level loop is a
    `lax.scan`: 16 separate per-level gathers/scatters made XLA schedule all
    levels' ~100 MB temporaries concurrently (14.5 GB live set); the scan
-   reuses one level's buffers. Dense low levels waste a little padding
-   (~2 MB total) for a uniform scan body.
+   reuses one level's buffers.
  * Forward gathers the fp32 table directly (measured: f32 row-gathers are
    2x FASTER than bf16 ones on v5e — the opposite of scatters).
  * custom_vjp backward scatter-adds bf16 contributions per level — the
    analogue of tcnn's __half2 atomicAdd backward (fp16-class mantissa, fp32
-   exponent range, no loss scaling needed). Per-level (4 MB) scatter operands
-   are ~2.6x faster than one 50 MB operand.
+   exponent range, no loss scaling needed). bf16 scatters are ~2.8x faster
+   than fp32 (14.4 vs 40 ns/row), flat in width up to 4 values.
  * d/dpos (Normals mode, input-gradient API) uses the analytic trilinear
    derivative; XLA dead-code-eliminates it when unused.
 """
@@ -43,6 +58,9 @@ _PRIMES = np.array([1, 2654435761, 805459861], dtype=np.uint32)
 # 8 corner offsets of a unit cube, shape (8, 3)
 _CORNERS = np.array([[(c >> 0) & 1, (c >> 1) & 1, (c >> 2) & 1] for c in range(8)], dtype=np.float32)
 
+# the 4 (y, z) corner combinations of an x-adjacent pair, shape (4, 2)
+_YZ = np.array([[0, 0], [1, 0], [0, 1], [1, 1]], dtype=np.int32)
+
 
 @dataclass(frozen=True)
 class HashGridSpec:
@@ -55,6 +73,7 @@ class HashGridSpec:
     dense: tuple  # bool per level
     sizes: tuple  # logical table entries per level
     offsets: tuple  # exclusive prefix of sizes (for flat export)
+    variant: str = "xadd"  # "xadd" (pair-packed) | "tcnn" (interchange)
 
     @property
     def n_entries(self) -> int:
@@ -75,10 +94,14 @@ class HashGridSpec:
         for l in range(cfg.n_levels):
             scale = cfg.base_resolution * (cfg.scale**l) - 1.0
             res = int(math.ceil(scale)) + 1
-            is_dense = res**3 <= cfg.hashmap_size
             # align each level's stride to 8 (tcnn does the same for
-            # vectorized loads; keeps param counts comparable)
-            size = -(-(res**3) // 8) * 8 if is_dense else cfg.hashmap_size
+            # vectorized loads; keeps param counts comparable). A level is
+            # dense only if the ALIGNED size fits — this guarantees every
+            # hash level's size equals padded_size, which the pair-table
+            # roll relies on for exact mod-T wraparound.
+            aligned = -(-(res**3) // 8) * 8
+            is_dense = aligned <= cfg.hashmap_size
+            size = aligned if is_dense else cfg.hashmap_size
             scales.append(scale)
             resolutions.append(res)
             dense.append(is_dense)
@@ -93,6 +116,7 @@ class HashGridSpec:
             dense=tuple(dense),
             sizes=tuple(sizes),
             offsets=tuple(offsets),
+            variant=cfg.hash_variant,
         )
 
     def level_constants(self):
@@ -115,6 +139,10 @@ def hash_table_init(key, spec: HashGridSpec, scale: float = 1e-4):
         key, (spec.n_levels, spec.padded_size, spec.n_features), jnp.float32, -scale, scale
     )
 
+
+# --------------------------------------------------------------------------
+# tcnn variant: 8 independent corner rows per sample per level
+# --------------------------------------------------------------------------
 
 def _corner_indices_weights(pos, scale, res, dense, size):
     """Corner indices+weights for ONE level with traced per-level constants.
@@ -144,16 +172,14 @@ def _corner_indices_weights(pos, scale, res, dense, size):
 
 
 def _level_indices(pos, level: int, spec: HashGridSpec):
-    """Static-level variant (tests, export)."""
+    """Static-level variant (tests, export); tcnn corner layout."""
     lc = spec.level_constants()
     return _corner_indices_weights(
         pos, lc["scale"][level], lc["res"][level], lc["dense"][level], lc["size"][level]
     )
 
 
-def _hash_encode_impl(table, pos, spec: HashGridSpec, gather_dtype=jnp.float32):
-    # NOTE: gathers run on the fp32 table directly — measured on v5e, an f32
-    # row-gather is 2x FASTER than bf16 (the opposite of scatters).
+def _encode_tcnn(table, pos, spec: HashGridSpec):
     lc = spec.level_constants()
 
     def body(_, xs):
@@ -167,18 +193,7 @@ def _hash_encode_impl(table, pos, spec: HashGridSpec, gather_dtype=jnp.float32):
     return jnp.transpose(outs, (1, 0, 2)).reshape(pos.shape[0], spec.n_output_dims)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
-def hash_encode(table, pos, spec: HashGridSpec):
-    """table: (L, T_pad, F); pos: (N, 3) in [0,1] -> (N, L*F) fp32."""
-    return _hash_encode_impl(table, pos, spec)
-
-
-def _hash_encode_fwd(table, pos, spec: HashGridSpec):
-    return hash_encode(table, pos, spec), (table, pos)
-
-
-def _hash_encode_bwd(spec: HashGridSpec, res_, g):
-    table, pos = res_
+def _bwd_tcnn(table, pos, spec: HashGridSpec, g):
     f = spec.n_features
     n = pos.shape[0]
     lc = spec.level_constants()
@@ -217,6 +232,150 @@ def _weight_grads(pos, scale):
         others = [i for i in range(3) if i != d]
         grads.append(sign[None, :, d] * w[..., others[0]] * w[..., others[1]] * scale)
     return jnp.stack(grads, axis=-1)
+
+
+# --------------------------------------------------------------------------
+# xadd variant: 4 pair rows per sample per level (both directions)
+# --------------------------------------------------------------------------
+
+def _pair_indices_weights(pos, scale, res, dense, size):
+    """Pair rows + weights for ONE level (xadd hash / dense x-stride-1).
+
+    Returns (rows (N,4) i32, wyz (N,4) f32, wx0 (N,) f32, dx_live (N,) f32):
+    row k fetches the x-corner pair [(x, yz_k), (x+1, yz_k)]; the sample's
+    contribution from row k is wyz_k * (wx0 * pair[:F] + (1-wx0) * pair[F:]).
+    `dx_live` zeroes the analytic x-derivative where the dense boundary clamp
+    collapses the pair onto one physical entry (d/dx is exactly 0 there).
+    """
+    scaled = pos * scale + 0.5
+    base = jnp.floor(scaled)
+    frac = scaled - base
+    base = base.astype(jnp.int32)
+    bx, by, bz = base[:, 0], base[:, 1], base[:, 2]
+    fx, fy, fz = frac[:, 0], frac[:, 1], frac[:, 2]
+
+    yz = jnp.asarray(_YZ)  # (4, 2)
+    cy = by[:, None] + yz[None, :, 0]  # (N, 4)
+    cz = bz[:, None] + yz[None, :, 1]
+
+    # dense: x-pair clamped into [0, res-2] with the weight shifted onto the
+    # surviving entry — exactly reproduces clip-to-[0,res-1] semantics
+    # (reference dense addressing clamps corner coords; at base_x = res-1
+    # both x-corners clip to the same entry with total weight 1).
+    xb = jnp.clip(bx, 0, jnp.maximum(res - 2, 0))
+    hi = bx > res - 2
+    lo = bx < 0
+    wx0_dense = jnp.where(hi, 0.0, jnp.where(lo, 1.0, 1.0 - fx))
+    cyd = jnp.clip(cy, 0, res - 1)
+    czd = jnp.clip(cz, 0, res - 1)
+    rows_dense = xb[:, None] + cyd * res + czd * (res * res)
+
+    # hash: idx = (x + (y*p1 ^ z*p2)) mod T; the +1 row wraps mod T, which
+    # the rolled pair table reproduces exactly (hash level size == padded).
+    p1, p2 = jnp.uint32(_PRIMES[1]), jnp.uint32(_PRIMES[2])
+    h = (cy.astype(jnp.uint32) * p1) ^ (cz.astype(jnp.uint32) * p2)  # (N, 4)
+    rows_hash = ((bx.astype(jnp.uint32)[:, None] + h) % size.astype(jnp.uint32)).astype(jnp.int32)
+
+    rows = jnp.where(dense, rows_dense, rows_hash)
+    wx0 = jnp.where(dense, wx0_dense, 1.0 - fx)
+    dx_live = jnp.where(dense & (hi | lo), 0.0, 1.0)
+
+    wy = jnp.where(yz[None, :, 0] == 1, fy[:, None], 1.0 - fy[:, None])
+    wz = jnp.where(yz[None, :, 1] == 1, fz[:, None], 1.0 - fz[:, None])
+    return rows, wy * wz, wx0, dx_live
+
+
+def _pair_table(tbl_l):
+    """(T_pad, F) -> overlapping pair view (T_pad, 2F): P[i] = [t[i], t[i+1 mod T]]."""
+    return jnp.concatenate([tbl_l, jnp.roll(tbl_l, -1, axis=0)], axis=-1)
+
+
+def _encode_xadd(table, pos, spec: HashGridSpec):
+    f = spec.n_features
+    lc = spec.level_constants()
+
+    def body(_, xs):
+        tbl_l, scale, res, dense, size = xs
+        rows, wyz, wx0, _ = _pair_indices_weights(pos, scale, res, dense, size)
+        feats = _pair_table(tbl_l)[rows].astype(jnp.float32)  # (N, 4, 2F)
+        pair = feats.reshape(feats.shape[0], 4, 2, f)
+        wx = jnp.stack([wx0, 1.0 - wx0], axis=-1)  # (N, 2)
+        w = wyz[..., None] * wx[:, None, :]  # (N, 4, 2)
+        return None, jnp.sum(pair * w[..., None], axis=(1, 2))  # (N, F)
+
+    _, outs = jax.lax.scan(body, None, (table, lc["scale"], lc["res"], lc["dense"], lc["size"]))
+    return jnp.transpose(outs, (1, 0, 2)).reshape(pos.shape[0], spec.n_output_dims)
+
+
+def _bwd_xadd(table, pos, spec: HashGridSpec, g):
+    f = spec.n_features
+    n = pos.shape[0]
+    lc = spec.level_constants()
+    g_levels = g.reshape(n, spec.n_levels, f).transpose(1, 0, 2)  # (L, N, F)
+
+    def body(_, xs):
+        tbl_l, g_l, scale, res, dense, size = xs
+        rows, wyz, wx0, dx_live = _pair_indices_weights(pos, scale, res, dense, size)
+        wx = jnp.stack([wx0, 1.0 - wx0], axis=-1)  # (N, 2)
+        w = wyz[..., None] * wx[:, None, :]  # (N, 4, 2)
+        contrib = (w[..., None] * g_l[:, None, None, :]).astype(jnp.bfloat16)  # (N,4,2,F)
+        acc = (
+            jnp.zeros((spec.padded_size, 2 * f), jnp.bfloat16)
+            .at[rows.reshape(-1)]
+            .add(contrib.reshape(-1, 2 * f))
+        )
+        # fold the pair accumulator: entry i received first-half contributions
+        # at row i and second-half contributions at row i-1 (mod T)
+        d_l = acc[:, :f].astype(jnp.float32) + jnp.roll(acc[:, f:], 1, axis=0).astype(jnp.float32)
+
+        # d(out)/d(pos): DCE'd by XLA when the pos cotangent is unused
+        feats = _pair_table(tbl_l)[rows].reshape(n, 4, 2, f)
+        s = jnp.einsum("nkcf,nf->nkc", feats, g_l)  # (N, 4, 2)
+        interp_x = s[..., 0] * wx0[:, None] + s[..., 1] * (1.0 - wx0[:, None])  # (N,4)
+        dx = dx_live * jnp.sum(wyz * (s[..., 1] - s[..., 0]), axis=1) * scale
+        yz = jnp.asarray(_YZ, jnp.float32)
+        scaled = pos * scale + 0.5
+        frac = scaled - jnp.floor(scaled)
+        fy, fz = frac[:, 1], frac[:, 2]
+        wy = jnp.where(yz[None, :, 0] == 1, fy[:, None], 1.0 - fy[:, None])
+        wz = jnp.where(yz[None, :, 1] == 1, fz[:, None], 1.0 - fz[:, None])
+        sy = jnp.where(yz[None, :, 0] == 1, 1.0, -1.0)
+        sz = jnp.where(yz[None, :, 1] == 1, 1.0, -1.0)
+        dy = jnp.sum(sy * wz * interp_x, axis=1) * scale
+        dz = jnp.sum(sz * wy * interp_x, axis=1) * scale
+        return None, (d_l.astype(table.dtype), jnp.stack([dx, dy, dz], axis=-1))
+
+    _, (d_table, d_pos_levels) = jax.lax.scan(
+        body, None, (table, g_levels, lc["scale"], lc["res"], lc["dense"], lc["size"])
+    )
+    return d_table, jnp.sum(d_pos_levels, axis=0)
+
+
+# --------------------------------------------------------------------------
+# public op
+# --------------------------------------------------------------------------
+
+def _hash_encode_impl(table, pos, spec: HashGridSpec):
+    if spec.variant == "xadd":
+        return _encode_xadd(table, pos, spec)
+    return _encode_tcnn(table, pos, spec)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def hash_encode(table, pos, spec: HashGridSpec):
+    """table: (L, T_pad, F); pos: (N, 3) in [0,1] -> (N, L*F) fp32."""
+    return _hash_encode_impl(table, pos, spec)
+
+
+def _hash_encode_fwd(table, pos, spec: HashGridSpec):
+    return hash_encode(table, pos, spec), (table, pos)
+
+
+def _hash_encode_bwd(spec: HashGridSpec, res_, g):
+    table, pos = res_
+    if spec.variant == "xadd":
+        return _bwd_xadd(table, pos, spec, g)
+    return _bwd_tcnn(table, pos, spec, g)
 
 
 hash_encode.defvjp(_hash_encode_fwd, _hash_encode_bwd)

@@ -44,7 +44,7 @@ def make_mesh(devices=None) -> Mesh:
     return Mesh(np.asarray(devices), axis_names=("data",))
 
 
-def _make_dp_step_fn(trainer: Trainer, mesh: Mesh, n_rays_global: int, capacity: int | None = None):
+def _make_dp_step_fn(trainer: Trainer, mesh: Mesh, n_rays_global: int, capacity: int | None = None, s_pad: int = 1024):
     """Per-device step body (must run inside shard_map)."""
     cfg = trainer.config
     scfg = cfg.sampler
@@ -80,6 +80,7 @@ def _make_dp_step_fn(trainer: Trainer, mesh: Mesh, n_rays_global: int, capacity:
             n_rays_shift,
             capacity_local,
             n_lattice,
+            s_pad,
             stride_denom=n_rays_global,
             index_offset=axis * n_rays_local,
         )
@@ -98,11 +99,8 @@ def _make_dp_step_fn(trainer: Trainer, mesh: Mesh, n_rays_global: int, capacity:
             return train_loss(
                 rgb_raw,
                 sigma_raw,
-                batch.dt,
-                batch.ray_ids,
-                batch.valid,
-                batch.base,
-                batch.counts,
+                batch.layout,
+                scfg.min_cone_stepsize,
                 batch.ray_valid,
                 rgb_target,
                 bg_composite,
@@ -127,6 +125,7 @@ def _make_dp_step_fn(trainer: Trainer, mesh: Mesh, n_rays_global: int, capacity:
             "loss_sum": jax.lax.psum(jnp.sum(aux["per_ray_loss"]), "data"),
             "measured_batch_size": jax.lax.psum(aux["measured_batch_size"], "data"),
             "measured_batch_size_before_compaction": jax.lax.psum(batch.n_samples, "data"),
+            "max_ray_count": jax.lax.pmax(batch.max_ray_count, "data"),
         }
         new_state = TrainState(
             params=params,
@@ -141,9 +140,9 @@ def _make_dp_step_fn(trainer: Trainer, mesh: Mesh, n_rays_global: int, capacity:
     return step_fn
 
 
-def make_dp_train_step(trainer: Trainer, mesh: Mesh, n_rays_global: int, capacity: int | None = None):
+def make_dp_train_step(trainer: Trainer, mesh: Mesh, n_rays_global: int, capacity: int | None = None, s_pad: int = 1024):
     """Single sharded train step (rays over "data", psum grads)."""
-    step_fn = _make_dp_step_fn(trainer, mesh, n_rays_global, capacity)
+    step_fn = _make_dp_step_fn(trainer, mesh, n_rays_global, capacity, s_pad)
     rep = P()
     sharded = shard_map(
         step_fn,
@@ -155,9 +154,9 @@ def make_dp_train_step(trainer: Trainer, mesh: Mesh, n_rays_global: int, capacit
     return jax.jit(sharded, donate_argnums=(0,))
 
 
-def make_dp_train_call(trainer: Trainer, mesh: Mesh, n_rays_global: int, capacity: int, n_steps: int):
+def make_dp_train_call(trainer: Trainer, mesh: Mesh, n_rays_global: int, capacity: int, s_pad: int, n_steps: int):
     """n_steps sharded inner steps fused into one jitted lax.scan call."""
-    step_fn = _make_dp_step_fn(trainer, mesh, n_rays_global, capacity)
+    step_fn = _make_dp_step_fn(trainer, mesh, n_rays_global, capacity, s_pad)
     rep = P()
 
     def call_fn(state, images, xforms, focal_length, shift0):

@@ -1,17 +1,19 @@
-"""Differentiable emission-absorption compositing over flat sample buffers.
+"""Differentiable emission-absorption compositing in padded ray-major layout.
 
 TPU-native rebuild of the reference's training ray marcher
 (internal/render/ray_marcher.cu:15-213, volume_rendering_with_loss_and_
 gradient_kernal). The reference hand-derives ~250 lines of chain rule
 (cu:156-188, including the "suffix" trick for density gradients); here the
-composite is written once as masked segment ops over the flat sample buffer
-and `jax.grad` derives the backward pass — tests validate it against the
-reference's closed-form gradient formulas.
+composite is written once and `jax.grad` derives the backward pass — tests
+validate it against the reference's closed-form gradient formulas.
 
-Layout: samples of one ray are CONTIGUOUS in the flat [C] buffer (the
-prefix-sum compaction in sampling/lattice.py guarantees it), so per-ray
-prefix transmittance is a plain cumsum minus a per-segment offset — no
-associative segmented scan machinery needed.
+Layout: the composite runs on the PADDED (R, S) view of the sample buffer
+(ops/layout.py) — one row per ray, samples left-justified. Per-ray prefix
+transmittance is then a plain `cumsum(axis=1)` over vector lanes; the
+network's flat (C,) outputs enter through the gather-only flat->padded
+bijection, so neither direction of the autodiff emits a scatter. Measured
+on v5e this replaces a ~200 ms segment-op composite with ~5 ms of dense
+vector work plus one 4.3 ns/row gather (tools/mb2.py).
 
 Key exact identity exploited: log(1 - alpha_j) = -sigma_j * dt_j, so the
 transmittance prefix product is exp(-cumsum(sigma dt)) with zero numerical
@@ -24,26 +26,24 @@ import jax
 import jax.numpy as jnp
 
 from ngp_tpu.ops import losses
+from ngp_tpu.ops.layout import SampleLayout, pad_layout
 from ngp_tpu.utils.config import LOSS_SCALE
 
 
 class CompositeResult(NamedTuple):
     rgb_ray: jnp.ndarray  # (R, 3) composited color (incl. background term)
     trans_end: jnp.ndarray  # (R,) transmittance after the included samples
-    include: jnp.ndarray  # (C,) bool — samples contributing (T >= threshold)
+    include: jnp.ndarray  # (R, S) bool — samples contributing (T >= threshold)
     n_included: jnp.ndarray  # (R,) int32 — "compacted" sample counts
     exhausted: jnp.ndarray  # (R,) bool — marched all samples without early stop
 
 
 def composite_rays(
-    rgb,  # (C, 3) post-activation colors
-    sigma,  # (C,) post-activation densities
-    dt,  # (C,) unwarped step sizes
-    ray_ids,  # (C,) int32 segment id per sample (contiguous segments)
-    valid,  # (C,) bool
-    base,  # (R,) int32 flat start offset per ray
+    rgb,  # (R, S, 3) post-activation colors
+    sigma,  # (R, S) post-activation densities
+    dt,  # scalar or (R, S) unwarped step sizes
+    valid,  # (R, S) bool — j < counts[r]
     counts,  # (R,) int32 valid samples per ray
-    n_rays: int,
     background,  # (3,) or (R, 3) color composited behind exhausted rays
     transmittance_threshold: float,
 ) -> CompositeResult:
@@ -54,31 +54,18 @@ def composite_rays(
     the background is added only for rays that were not early-stopped
     (cu:123-126).
     """
+    n_rays = sigma.shape[0]
     sdt = jnp.where(valid, sigma * dt, 0.0)
-    incl_cumsum = jnp.cumsum(sdt)
-    excl_cumsum = incl_cumsum - sdt
-    # per-segment offset: value of the exclusive cumsum at each segment start
-    seg_start = jnp.where(base > 0, incl_cumsum[jnp.maximum(base - 1, 0)], 0.0)
-    acc_before = excl_cumsum - seg_start[ray_ids]  # sum of sigma*dt of prior samples in ray
+    acc_before = jnp.cumsum(sdt, axis=1) - sdt  # exclusive per-ray prefix
     trans = jnp.exp(-acc_before)
 
-    include = jnp.where(valid & (trans >= transmittance_threshold), 1.0, 0.0)
+    include = valid & (trans >= transmittance_threshold)
     alpha = 1.0 - jnp.exp(-sdt)
-    weight = include * alpha * trans
+    weight = jnp.where(include, alpha * trans, 0.0)
 
-    # ONE fused per-ray reduction: [w*rgb (3), include count, included sdt].
-    # Three separate segment_sums over the same indices tempt XLA's scatter
-    # combiner into a variadic scatter that crashes the TPU fusion pass
-    # (scatter_emitter.cc operand_indices check); one wide payload avoids it
-    # and is cheaper anyway.
-    payload = jnp.concatenate(
-        [weight[:, None] * rgb, include[:, None], (include * sdt)[:, None]], axis=-1
-    )
-    seg = jax.ops.segment_sum(payload, ray_ids, n_rays, indices_are_sorted=True)
-    rgb_ray = seg[:, :3]
-    n_included = seg[:, 3].astype(jnp.int32)
-    trans_end = jnp.exp(-seg[:, 4])
-    include = include > 0
+    rgb_ray = jnp.sum(weight[..., None] * rgb, axis=1)  # (R, 3)
+    n_included = jnp.sum(include, axis=1, dtype=jnp.int32)
+    trans_end = jnp.exp(-jnp.sum(jnp.where(include, sdt, 0.0), axis=1))
 
     exhausted = n_included == counts
     bg = jnp.broadcast_to(jnp.asarray(background, jnp.float32), (n_rays, 3))
@@ -87,14 +74,11 @@ def composite_rays(
 
 
 def train_loss(
-    rgb_raw,  # (C, 3) pre-activation network rgb
-    sigma_raw,  # (C,) pre-activation network density
-    dt,
-    ray_ids,
-    valid,
-    base,
-    counts,
-    ray_valid,  # (R,) bool — ray produced >= 1 sample (cu:408: zero-step rays dropped)
+    rgb_raw,  # (C, 3) pre-activation network rgb, flat layout
+    sigma_raw,  # (C,) pre-activation network density, flat layout
+    layout: SampleLayout,  # flat<->padded bijection (ops/layout.py)
+    dt,  # scalar or (R, S) step sizes
+    ray_valid,  # (R,) bool — ray kept (>=1 sample, no overflow; cu:408,414-416)
     rgb_target,  # (R, 3)
     background,  # (3,) or (R, 3), linear, already the *training* background
     *,
@@ -123,11 +107,17 @@ def train_loss(
     Returns (loss_scalar, aux dict).
     """
     n_rays = rgb_target.shape[0]
-    sigma = apply_density_activation(sigma_raw, density_activation)
-    rgb = apply_rgb_activation(rgb_raw, rgb_activation)
+    # flat -> padded through the gather-only bijection, ONE wide transfer
+    packed = jnp.concatenate([rgb_raw, sigma_raw[:, None]], axis=-1)  # (C, 4)
+    padded = pad_layout(layout, packed)  # (R, S, 4)
+    rgb_raw_p, sigma_raw_p = padded[..., :3], padded[..., 3]
 
+    sigma = apply_density_activation(sigma_raw_p, density_activation)
+    rgb = apply_rgb_activation(rgb_raw_p, rgb_activation)
+
+    valid = layout.pad_valid & ray_valid[:, None]
     res = composite_rays(
-        rgb, sigma, dt, ray_ids, valid, base, counts, n_rays, background, transmittance_threshold
+        rgb, sigma, dt, valid, layout.counts, background, transmittance_threshold
     )
     per_ray_loss = jnp.mean(losses.loss_value(rgb_target, res.rgb_ray, loss_type), axis=-1)
     per_ray_loss = jnp.where(ray_valid, per_ray_loss, 0.0)
@@ -135,10 +125,10 @@ def train_loss(
 
     include = jax.lax.stop_gradient(res.include)
     if rgb_activation.lower() == "exponential":
-        reg = 0.5 * 1e-4 * jnp.sum(jnp.where(include[:, None], jax.nn.relu(rgb_raw) ** 2, 0.0))
+        reg = 0.5 * 1e-4 * jnp.sum(jnp.where(include[..., None], jax.nn.relu(rgb_raw_p) ** 2, 0.0))
         loss = loss + reg / n_rays_denom
     l1_coeff = jnp.where(mean_density < min_optical_thickness, 1e-4 / LOSS_SCALE, 0.0)
-    loss = loss + l1_coeff * jnp.sum(jnp.where(include, jax.nn.relu(-sigma_raw), 0.0))
+    loss = loss + l1_coeff * jnp.sum(jnp.where(include, jax.nn.relu(-sigma_raw_p), 0.0))
 
     aux = {
         "per_ray_loss": per_ray_loss,

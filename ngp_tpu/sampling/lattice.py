@@ -20,7 +20,8 @@ shipped config uses it, and `assert_supported` documents the restriction.)
 
 Memory discipline: [n_rays, n_lattice] position tensors are never
 materialized; everything walks the lattice in chunks via lax.scan, keeping
-peak extra memory at [n_rays, chunk, 3].
+peak extra memory at [n_rays, chunk, 3]. The only full-width product is the
+1-byte occupied mask, which sampling/training.py compacts with a row sort.
 """
 
 import jax
@@ -96,74 +97,3 @@ def count_samples(cfg: SamplerConfig, aabb: AABB, occupancy, o, d, startt, n_lat
         # (n_chunks, R, CHUNK) -> (R, n_lattice)
         return taken, jnp.transpose(masks, (1, 0, 2)).reshape(R, n_lattice)
     return taken
-
-
-def scatter_samples(
-    cfg: SamplerConfig,
-    aabb: AABB,
-    occupancy,
-    o,
-    d,
-    startt,
-    base,
-    ray_valid,
-    n_lattice: int,
-    capacity: int,
-    masks=None,
-):
-    """Pass 2: scatter each ray's occupied samples into flat [capacity] buffers.
-
-    Ray r's j-th occupied sample lands at flat index base[r] + j — the
-    prefix-sum replacement for the reference's atomicAdd compaction
-    (occupancy_sampler.cu:413-426). Returns (pos_w, dir_w, dt, ray_ids,
-    valid): positions/directions warped per common_device.h:347-404, dt
-    UNWARPED (the network never consumes dt — the reference's encodings read
-    only dims 0-2 and 4-6 of the Coordinate struct, ngp_network.h:244-253 —
-    while the composite needs the real step size).
-
-    `masks` (R, n_lattice), from count_samples(return_masks=True), skips the
-    second round of occupancy gathers.
-    """
-    dt = cfg.min_cone_stepsize
-    R = o.shape[0]
-
-    # one packed scatter per chunk: [pos.xyz, t, ray_id bits] in a single
-    # (capacity, 5) buffer (every .at[].set is its own XLA scatter whose cost
-    # scales with *input* rows, so fewer+wider beats many+narrow)
-    flat = jnp.full((capacity, 5), -1.0, jnp.float32)
-
-    def body(carry, chunk_idx):
-        taken, still, flat = carry
-        if masks is not None:
-            cmask = jax.lax.dynamic_slice(masks, (0, chunk_idx * _CHUNK), (R, _CHUNK))
-            i = chunk_idx * _CHUNK + jnp.arange(_CHUNK, dtype=jnp.float32)
-            t = startt[:, None] + i[None, :] * dt
-            ordinal = taken[:, None] + jnp.cumsum(cmask, axis=1) - cmask.astype(jnp.int32)
-            mask = cmask
-        else:
-            mask, t, ordinal, still = _chunk_mask(cfg, aabb, occupancy, o, d, startt, chunk_idx * _CHUNK, taken, still)
-        mask = mask & ray_valid[:, None]
-        dest = base[:, None] + ordinal  # (R, CHUNK)
-        dest = jnp.where(mask, dest, capacity)  # out-of-range drops in scatter
-        pos = o[:, None, :] + t[..., None] * d[:, None, :]
-        ray_ids = jnp.broadcast_to(jnp.arange(R, dtype=jnp.int32)[:, None], mask.shape)
-        # ray id stored as an exact float (R < 2^24); empty slots stay -1.0
-        packed = jnp.concatenate(
-            [aabb.relative_pos(pos), t[..., None], ray_ids.astype(jnp.float32)[..., None]],
-            axis=-1,
-        )  # (R, CHUNK, 5)
-        flat = flat.at[dest.reshape(-1)].set(packed.reshape(-1, 5), mode="drop")
-        taken = taken + jnp.sum(mask, axis=1, dtype=jnp.int32)
-        return (taken, still, flat), None
-
-    init = (jnp.zeros(R, jnp.int32), jnp.ones(R, bool), flat)
-    (taken, _, flat), _ = jax.lax.scan(body, init, jnp.arange(n_lattice // _CHUNK))
-
-    flat_pos = flat[:, :3]
-    flat_t = flat[:, 3]
-    flat_valid = flat[:, 4] >= 0.0  # empty slots keep the -1.0 fill
-    flat_ray = jnp.where(flat_valid, flat[:, 4], 0.0).astype(jnp.int32)
-
-    dir_w = (d[flat_ray] + 1.0) * 0.5
-    dts = jnp.full((capacity,), dt, jnp.float32)
-    return flat_pos, dir_w, dts, flat_ray, flat_valid

@@ -5,9 +5,22 @@ Per step: pick an image per ray (deterministic stride, cu:348), a uniform
 pixel (snapped to centers, cu:356-358), build the ray from the camera
 matrix (cu:362-370), clip to the scene AABB with the near-distance guard
 (cu:373-375), jitter the march start by a random fraction of dt (cu:385),
-march the t-lattice, and compact all rays' occupied samples into flat
-capacity-bounded buffers (prefix-sum replaces the reference's atomicAdd;
-rays overflowing capacity are dropped whole, matching cu:414-416).
+march the t-lattice, and compact each ray's occupied samples.
+
+Compaction strategy (v2, all gathers — no large scatters):
+ 1. ONE lattice pass produces the per-ray occupied mask (R, n_lattice) and
+    counts (sampling/lattice.py).
+ 2. Per-ray compaction is a batched row SORT of `where(mask, lattice_index,
+    BIG)` — occupied lattice indices are already in march order, so sorting
+    left-justifies them; the first S columns are the padded sample list.
+    (The reference's atomicAdd emit pass, cu:413-426, becomes this sort.)
+ 3. Sample positions are CLOSED-FORM from the lattice index (t = startt +
+    i*dt), so nothing else needs moving; the flat network batch gathers its
+    per-slot lattice index through the flat<->padded bijection
+    (ops/layout.py), and rays overflowing the 2^18 sample budget are
+    dropped whole (cu:414-416), as are rays longer than the padded width S
+    (a tail the S controller sizes away; the reference has no such drop but
+    also caps at maximum_marching_steps).
 """
 
 from typing import NamedTuple
@@ -16,7 +29,8 @@ import jax
 import jax.numpy as jnp
 
 from ngp_tpu.data.nerf_synthetic import read_rgba
-from ngp_tpu.sampling.lattice import count_samples, scatter_samples
+from ngp_tpu.ops.layout import SampleLayout, build_layout
+from ngp_tpu.sampling.lattice import count_samples
 from ngp_tpu.utils.aabb import AABB
 from ngp_tpu.utils.config import SamplerConfig
 
@@ -26,16 +40,14 @@ class TrainingBatch(NamedTuple):
     rays_o: jnp.ndarray  # (R, 3)
     rays_d: jnp.ndarray  # (R, 3)
     rgba: jnp.ndarray  # (R, 4) premultiplied-linear target
-    counts: jnp.ndarray  # (R,) int32
-    base: jnp.ndarray  # (R,) int32 flat offsets
     ray_valid: jnp.ndarray  # (R,) bool
-    # flat samples (capacity C)
+    layout: SampleLayout  # flat <-> padded (R, S) bijection
+    # flat samples (capacity C), network inputs
     pos: jnp.ndarray  # (C, 3) warped
     dirs: jnp.ndarray  # (C, 3) warped
-    dt: jnp.ndarray  # (C,) unwarped step size
-    ray_ids: jnp.ndarray  # (C,) int32
-    valid: jnp.ndarray  # (C,) bool
-    n_samples: jnp.ndarray  # () int32 — uncompacted measured batch size
+    # telemetry
+    n_samples: jnp.ndarray  # () int32 — generated samples before drops
+    max_ray_count: jnp.ndarray  # () int32 — longest ray this step (S controller)
 
 
 def generate_training_batch(
@@ -51,6 +63,7 @@ def generate_training_batch(
     n_rays_shift,
     capacity: int,
     n_lattice: int,
+    s_pad: int,
     stride_denom: int = 0,
     index_offset=0,
 ) -> TrainingBatch:
@@ -60,6 +73,7 @@ def generate_training_batch(
     n_images, h, w = images.shape[0], images.shape[1], images.shape[2]
     k_pixel, k_jitter = jax.random.split(key)
     denom = stride_denom or n_rays
+    s_pad = min(s_pad, n_lattice)  # counts can never exceed the lattice
 
     # image pick: uint32 stride arithmetic, parity with cu:348
     i = jnp.arange(n_rays, dtype=jnp.uint32) + jnp.uint32(index_offset)
@@ -94,27 +108,40 @@ def generate_training_batch(
     counts, masks = count_samples(cfg, aabb, occupancy, o, d, startt, n_lattice, return_masks=True)
     masks = masks & hits[:, None]
     counts = jnp.where(hits, counts, 0)
-    ray_valid = counts > 0
-    base = jnp.cumsum(counts) - counts  # exclusive prefix (cu:413 atomicAdd)
     n_samples = jnp.sum(counts)
-    ray_valid = ray_valid & (base + counts <= capacity)  # cu:414-416 overflow drop
+    max_ray_count = jnp.max(counts)
 
-    pos, dirs, dts, ray_ids, valid = scatter_samples(
-        cfg, aabb, occupancy, o, d, startt, base, ray_valid, n_lattice, capacity, masks=masks
-    )
+    # whole-ray drops: zero samples, longer than the padded width, or
+    # overflowing the flat sample budget (cu:408, cu:414-416 semantics —
+    # dropped rays keep their flat reservation as holes)
+    ray_valid = (counts > 0) & (counts <= s_pad)
+    counts_res = jnp.where(ray_valid, counts, 0)
+    base = jnp.cumsum(counts_res) - counts_res
+    ray_valid = ray_valid & (base + counts_res <= capacity)
+    layout = build_layout(base, counts, ray_valid, capacity, s_pad)
+
+    # per-ray compaction: occupied lattice indices are increasing, so a row
+    # sort of where(mask, i, n_lattice) left-justifies them in march order
+    lat_iota = jnp.arange(n_lattice, dtype=jnp.int32)[None, :]
+    keys = jnp.where(masks & ray_valid[:, None], lat_iota, jnp.int32(n_lattice))
+    lat_pad = jax.lax.sort(keys, dimension=1)[:, :s_pad]  # (R, S)
+
+    # flat network inputs, all closed-form from the lattice index
+    rid = layout.ray_ids
+    flat_lat = jnp.where(layout.flat_valid, lat_pad[rid, layout.pos_in_ray], 0)
+    flat_t = startt[rid] + flat_lat.astype(jnp.float32) * dt
+    flat_pos = o[rid] + flat_t[:, None] * d[rid]
+    flat_dirs = (d[rid] + 1.0) * 0.5
 
     rgba = read_rgba(images, xy, img)
     return TrainingBatch(
         rays_o=o,
         rays_d=d,
         rgba=rgba,
-        counts=jnp.where(ray_valid, counts, 0),
-        base=base,
         ray_valid=ray_valid,
-        pos=pos,
-        dirs=dirs,
-        dt=dts,
-        ray_ids=ray_ids,
-        valid=valid,
+        layout=layout,
+        pos=aabb.relative_pos(flat_pos),
+        dirs=flat_dirs,
         n_samples=n_samples,
+        max_ray_count=max_ray_count,
     )

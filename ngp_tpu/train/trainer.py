@@ -92,7 +92,10 @@ class Trainer:
     color_space: str = "Linear"  # testbed.h:117
     loss_type: str = ""  # defaults to config.loss; runtime-tweakable
     target_batch_size: int = 1 << 18
-    sample_capacity: int = 1 << 19  # flat sample buffer (static shape)
+    # flat sample buffer == the target batch: rays overflowing it are dropped
+    # whole, exactly the reference's budget semantics (cu:414-416) — every
+    # flat slot is fwd+bwd work, so headroom would cost step time linearly
+    sample_capacity: int = 1 << 18
     mesh: Any = None  # jax.sharding.Mesh -> data-parallel steps
     _cache: dict = field(default_factory=dict)
 
@@ -125,7 +128,7 @@ class Trainer:
         )
 
     # ----------------------------------------------------------- train step
-    def _train_step_fn(self, n_rays: int, capacity: int):
+    def _train_step_fn(self, n_rays: int, capacity: int, s_pad: int):
         cfg = self.config
         scfg = cfg.sampler
         model = self.model
@@ -148,6 +151,7 @@ class Trainer:
                 n_rays_shift,
                 capacity,
                 n_lattice,
+                s_pad,
             )
 
             # background: one random sRGB color per step when enabled
@@ -177,11 +181,8 @@ class Trainer:
                 return train_loss(
                     rgb_raw,
                     sigma_raw,
-                    batch.dt,
-                    batch.ray_ids,
-                    batch.valid,
-                    batch.base,
-                    batch.counts,
+                    batch.layout,
+                    scfg.min_cone_stepsize,
                     batch.ray_valid,
                     rgb_target,
                     bg_composite,
@@ -221,6 +222,7 @@ class Trainer:
                 "loss_sum": jnp.sum(aux["per_ray_loss"]),
                 "measured_batch_size": aux["measured_batch_size"],
                 "measured_batch_size_before_compaction": batch.n_samples,
+                "max_ray_count": batch.max_ray_count,
             }
             new_state = TrainState(
                 params=params,
@@ -246,19 +248,19 @@ class Trainer:
             self.density_activation,
         )
 
-    def train_call(self, n_rays: int, capacity: int, n_steps: int):
+    def train_call(self, n_rays: int, capacity: int, s_pad: int, n_steps: int):
         """One jitted call running `n_steps` inner steps via lax.scan —
         collapses per-step host dispatches (expensive through a remote
         device tunnel) into one. Mirrors the reference's 16-step train()
         granularity (testbed.cu:255-263)."""
-        key = ("call", n_rays, capacity, n_steps, self._semantic_key())
+        key = ("call", n_rays, capacity, s_pad, n_steps, self._semantic_key())
         if key not in self._cache:
             if self.mesh is not None and self.mesh.devices.size > 1:
                 from ngp_tpu.parallel.mesh import make_dp_train_call
 
-                self._cache[key] = make_dp_train_call(self, self.mesh, n_rays, capacity, n_steps)
+                self._cache[key] = make_dp_train_call(self, self.mesh, n_rays, capacity, s_pad, n_steps)
             else:
-                step_fn = self._train_step_fn(n_rays, capacity)
+                step_fn = self._train_step_fn(n_rays, capacity, s_pad)
 
                 def call_fn(state, images, xforms, focal_length, shift0):
                     def body(st, i):
@@ -270,22 +272,22 @@ class Trainer:
                 self._cache[key] = jax.jit(call_fn, donate_argnums=(0,))
         return self._cache[key]
 
-    def train_step(self, n_rays: int, capacity: int | None = None):
+    def train_step(self, n_rays: int, capacity: int | None = None, s_pad: int = 1024):
         """Jitted step for a given (static, power-of-two) ray count.
 
         With a mesh set, returns the shard_map data-parallel step (rays
         sharded over the "data" axis, grads psum'ed; parallel/mesh.py).
         """
         capacity = capacity or self.sample_capacity
-        key = ("step", n_rays, capacity, self._semantic_key())
+        key = ("step", n_rays, capacity, s_pad, self._semantic_key())
         if key not in self._cache:
             if self.mesh is not None and self.mesh.devices.size > 1:
                 from ngp_tpu.parallel.mesh import make_dp_train_step
 
-                self._cache[key] = make_dp_train_step(self, self.mesh, n_rays, capacity)
+                self._cache[key] = make_dp_train_step(self, self.mesh, n_rays, capacity, s_pad)
             else:
                 self._cache[key] = jax.jit(
-                    self._train_step_fn(n_rays, capacity), static_argnames=(), donate_argnums=(0,)
+                    self._train_step_fn(n_rays, capacity, s_pad), static_argnames=(), donate_argnums=(0,)
                 )
         return self._cache[key]
 
@@ -351,7 +353,11 @@ class TrainingLoop:
         self.trainer = trainer
         self.dataset = dataset
         self.n_rays_per_batch = 1 << 12  # testbed.h:141
-        self.capacity = trainer.sample_capacity  # adaptive, pow2-quantized
+        self.capacity = trainer.sample_capacity
+        # padded samples-per-ray width S: adapts to the longest observed ray
+        # (rays longer than S are dropped whole; the max_ray_count stat grows
+        # S back the next call). Memory-capped so R*S stays bounded.
+        self.s_pad = self._quantize_s_pad(trainer.config.sampler.maximum_marching_steps, self.n_rays_per_batch)
         self.n_rays_total = 0
         self.i_step = 0
         self.loss_scalar = float("nan")
@@ -369,6 +375,14 @@ class TrainingLoop:
         n = max(1 << 8, min(n, 1 << 18))
         return 1 << int(round(np.log2(n)))
 
+    def _quantize_s_pad(self, max_count: int, n_rays: int) -> int:
+        """Pow2 padded width covering the longest ray, memory-capped so the
+        padded (R, S) tensors stay <= 2^23 slots."""
+        max_steps = self.trainer.config.sampler.maximum_marching_steps
+        cap = max(32, min(1 << int(np.ceil(np.log2(max_steps))), (1 << 23) // n_rays))
+        want = 1 << int(np.ceil(np.log2(max(int(max_count), 32))))
+        return min(want, cap)
+
     def train(self, state: TrainState, n_training_steps: int = 16):
         """One reference train() call: grid prep + n steps + controller."""
         import time
@@ -382,7 +396,7 @@ class TrainingLoop:
         # per-step dispatch: measured gap-free on the axon runtime, and the
         # 16-step scanned variant (train_call) currently exceeds HBM — the
         # single step already peaks ~8 GB of temp at 2^19 capacity.
-        step_fn = self.trainer.train_step(self.n_rays_per_batch, self.capacity)
+        step_fn = self.trainer.train_step(self.n_rays_per_batch, self.capacity, self.s_pad)
         ds = self.dataset
         all_stats = []
         for _ in range(n_training_steps):
@@ -412,17 +426,16 @@ class TrainingLoop:
         # adaptive ray count (testbed.cu:292-293), pow2-quantized for jit
         # caching; pick the pow2 whose EXPECTED measured batch lands closest
         # to the target (plain nearest-pow2 of the rounded-up ray count has a
-        # stable fixed point ~1.7x above target)
+        # stable fixed point ~1.7x above target). per-ray sizing uses the
+        # PRE-drop sample counts so whole-ray drops don't skew the estimate.
         old_n_rays = self.n_rays_per_batch
-        per_ray = measured / old_n_rays
+        per_ray = measured_bc / old_n_rays
         lo = self._quantize_n_rays(max(int(target / per_ray), 1))
         candidates = {lo, min(lo * 2, 1 << 18), max(lo // 2, 1 << 8)}
         self.n_rays_per_batch = min(candidates, key=lambda n: abs(n * per_ray - target))
 
-        # adaptive flat-sample capacity: every buffer slot is fwd+bwd work,
-        # so oversizing wastes step time linearly. Size for the *next* call's
-        # expected uncompacted batch with 50% headroom, pow2-quantized.
-        expect_bc = measured_bc * self.n_rays_per_batch / old_n_rays
-        cap = 1 << max(14, int(np.ceil(np.log2(max(1.5 * expect_bc, 1.0)))))
-        self.capacity = min(cap, self.trainer.sample_capacity)
+        # padded width for the next call: cover this call's longest ray with
+        # 25% headroom (stat is pre-drop, so an undersized S self-corrects)
+        max_count = float(np.max(stats["max_ray_count"]))
+        self.s_pad = self._quantize_s_pad(int(max_count * 1.25) + 1, self.n_rays_per_batch)
         return state

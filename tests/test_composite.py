@@ -10,6 +10,7 @@ import pytest
 
 from ngp_tpu.models.ngp import apply_density_activation, apply_rgb_activation
 from ngp_tpu.ops import losses
+from ngp_tpu.ops.layout import build_layout
 from ngp_tpu.render.composite import composite_rays, train_loss
 
 
@@ -75,23 +76,18 @@ def test_train_loss_grad_matches_reference_chain_rule(loss_type):
     pad = C - k
     rgb_raw_f = jnp.asarray(np.concatenate([rgb_raw, np.zeros((pad, 3), np.float32)]))
     sigma_raw_f = jnp.asarray(np.concatenate([sigma_raw, np.zeros((pad,), np.float32)]))
-    dt_f = jnp.asarray(np.concatenate([dt, np.zeros((pad,), np.float32)]))
-    ray_ids = jnp.asarray(np.concatenate([np.zeros(k, np.int32), np.full(pad, 1, np.int32)]))
-    valid = jnp.asarray(np.concatenate([np.ones(k, bool), np.zeros(pad, bool)]))
     base = jnp.asarray([0, k, k, k], jnp.int32)
     counts = jnp.asarray([k, 0, 0, 0], jnp.int32)
     ray_valid = jnp.asarray([True, False, False, False])
+    layout = build_layout(base, counts, ray_valid, C, s_pad=8)
     targets = jnp.asarray(np.stack([target] + [np.zeros(3)] * 3), jnp.float32)
 
     def loss_fn(rgb_r, sig_r):
         loss, _ = train_loss(
             rgb_r,
             sig_r,
-            dt_f,
-            ray_ids,
-            valid,
-            base,
-            counts,
+            layout,
+            float(dt[0]),
             ray_valid,
             targets,
             jnp.asarray(bg),
@@ -117,25 +113,20 @@ def test_train_loss_grad_matches_reference_chain_rule(loss_type):
 
 
 def test_composite_forward_matches_sequential():
-    """composite_rays == a plain sequential emission-absorption loop."""
+    """composite_rays (padded layout) == a plain sequential loop."""
     rng = np.random.default_rng(7)
-    R, C = 3, 32
+    R, S = 3, 32
     counts = np.array([10, 0, 22], np.int32)
-    base = np.array([0, 10, 10], np.int32)
-    sigma = rng.uniform(0, 60, C).astype(np.float32)
-    rgb = rng.uniform(0, 1, (C, 3)).astype(np.float32)
-    dt = np.full(C, 0.05, np.float32)
-    valid = np.zeros(C, bool)
-    ray_ids = np.zeros(C, np.int32)
-    for r in range(R):
-        valid[base[r] : base[r] + counts[r]] = True
-        ray_ids[base[r] : base[r] + counts[r]] = r
+    sigma = rng.uniform(0, 60, (R, S)).astype(np.float32)
+    rgb = rng.uniform(0, 1, (R, S, 3)).astype(np.float32)
+    dt = 0.05
+    valid = np.arange(S)[None, :] < counts[:, None]
     bg = np.array([0.2, 0.3, 0.4], np.float32)
     thresh = 1e-2  # high threshold to exercise early stop
 
     res = composite_rays(
-        jnp.asarray(rgb), jnp.asarray(sigma), jnp.asarray(dt), jnp.asarray(ray_ids),
-        jnp.asarray(valid), jnp.asarray(base), jnp.asarray(counts), R, jnp.asarray(bg), thresh,
+        jnp.asarray(rgb), jnp.asarray(sigma), dt, jnp.asarray(valid),
+        jnp.asarray(counts), jnp.asarray(bg), thresh,
     )
 
     for r in range(R):
@@ -145,9 +136,8 @@ def test_composite_forward_matches_sequential():
         for j in range(counts[r]):
             if T < thresh:
                 break
-            s = base[r] + j
-            alpha = 1.0 - np.exp(-sigma[s] * dt[s])
-            out += alpha * T * rgb[s]
+            alpha = 1.0 - np.exp(-sigma[r, j] * dt)
+            out += alpha * T * rgb[r, j]
             T *= 1.0 - alpha
             included += 1
         if included == counts[r]:

@@ -76,8 +76,8 @@ def test_sh_degrees():
 
 
 # ---------------------------------------------------------------- hash grid
-def _tiny_spec(n_levels=4, log2_T=8, base=4):
-    return HashGridSpec.create(HashEncodingConfig(n_levels=n_levels, n_features_per_level=2, log2_hashmap_size=log2_T, base_resolution=base, desired_resolution=64.0))
+def _tiny_spec(n_levels=4, log2_T=8, base=4, variant="xadd"):
+    return HashGridSpec.create(HashEncodingConfig(n_levels=n_levels, n_features_per_level=2, log2_hashmap_size=log2_T, base_resolution=base, desired_resolution=64.0, hash_variant=variant))
 
 
 def test_hash_spec_layout():
@@ -112,8 +112,9 @@ def test_hash_encode_interpolates_dense_level():
     np.testing.assert_allclose(out, expect, rtol=1e-2, atol=1e-3)
 
 
-def test_hash_encode_grad_is_scatter_add():
-    spec = _tiny_spec()
+@pytest.mark.parametrize("variant", ["xadd", "tcnn"])
+def test_hash_encode_grad_is_scatter_add(variant):
+    spec = _tiny_spec(variant=variant)
     table = hash_table_init(jax.random.PRNGKey(0), spec)
     pos = jnp.asarray(np.random.default_rng(1).uniform(0, 1, (32, 3)), jnp.float32)
 
@@ -133,9 +134,10 @@ def test_hash_encode_grad_is_scatter_add():
     np.testing.assert_allclose(float(g[lvl, touched, 0]), float(fd), rtol=2e-2, atol=1e-5)
 
 
-def test_hash_encode_pos_gradient():
+@pytest.mark.parametrize("variant", ["xadd", "tcnn"])
+def test_hash_encode_pos_gradient(variant):
     """custom_vjp's analytic d/dpos vs finite differences."""
-    spec = _tiny_spec()
+    spec = _tiny_spec(variant=variant)
     rng = np.random.default_rng(3)
     table = jnp.asarray(rng.normal(size=(spec.n_levels, spec.padded_size, 2)), jnp.float32)
     pos = jnp.asarray([[0.31, 0.62, 0.47]], jnp.float32)
@@ -152,9 +154,10 @@ def test_hash_encode_pos_gradient():
         np.testing.assert_allclose(g[d], fd, rtol=5e-2, atol=1e-2)
 
 
-def test_hash_encode_continuity_across_cell():
+@pytest.mark.parametrize("variant", ["xadd", "tcnn"])
+def test_hash_encode_continuity_across_cell(variant):
     """Encoding is continuous at cell boundaries (trilerp correctness)."""
-    spec = _tiny_spec()
+    spec = _tiny_spec(variant=variant)
     rng = np.random.default_rng(2)
     table = jnp.asarray(rng.normal(size=(spec.n_levels, spec.padded_size, 2)), jnp.float32)
     p = 0.37
@@ -163,6 +166,72 @@ def test_hash_encode_continuity_across_cell():
     b = hash_encode(table, jnp.array([[p + eps, 0.4, 0.6]]), spec)
     # bounded by (max slope = |features| * finest scale) * 2eps
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-3)
+
+
+def _xadd_8corner_reference(table, pos, spec):
+    """Straightforward per-corner gather with the x-additive hash — the
+    semantic ground truth the pair-packed fast path must reproduce."""
+    P1, P2 = np.uint32(2654435761), np.uint32(805459861)
+    N = pos.shape[0]
+    out = np.zeros((N, spec.n_output_dims), np.float32)
+    tbl = np.asarray(table)
+    corners = [(cx, cy, cz) for cz in (0, 1) for cy in (0, 1) for cx in (0, 1)]
+    for l in range(spec.n_levels):
+        scale, res, size = spec.scales[l], spec.resolutions[l], spec.sizes[l]
+        scaled = np.asarray(pos) * scale + 0.5
+        base = np.floor(scaled).astype(np.int64)
+        frac = scaled - base
+        acc = np.zeros((N, spec.n_features), np.float32)
+        for cx, cy, cz in corners:
+            c = base + np.array([cx, cy, cz])
+            w = np.prod(np.where(np.array([cx, cy, cz]) == 1, frac, 1 - frac), axis=-1)
+            if spec.dense[l]:
+                cc = np.clip(c, 0, res - 1)
+                idx = cc[:, 0] + cc[:, 1] * res + cc[:, 2] * res * res
+            else:
+                u = c.astype(np.uint32)
+                idx = (u[:, 0] + ((u[:, 1] * P1) ^ (u[:, 2] * P2))) % np.uint32(size)
+            acc += w[:, None] * tbl[l, idx]
+        out[:, l * spec.n_features : (l + 1) * spec.n_features] = acc
+    return out
+
+
+def test_xadd_pair_matches_8corner_reference():
+    """Pair-packed fast path == plain 8-corner x-additive trilerp, including
+    the dense x-boundary clamp and the hash mod-T pair wraparound."""
+    spec = _tiny_spec()
+    rng = np.random.default_rng(7)
+    table = jnp.asarray(rng.normal(size=(spec.n_levels, spec.padded_size, 2)), jnp.float32)
+    pos = rng.uniform(0, 1, (512, 3)).astype(np.float32)
+    pos[:8] = [[0.999, 0.5, 0.5], [0.9999, 0.9999, 0.9999], [0.0, 0.0, 0.0],
+               [1.0, 1.0, 1.0], [0.0001, 0.5, 0.9999], [0.999, 0.001, 0.5],
+               [0.5, 0.5, 0.5], [0.25, 0.75, 0.999]]
+    out = np.asarray(hash_encode(table, jnp.asarray(pos), spec))
+    ref = _xadd_8corner_reference(table, pos, spec)
+    np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_xadd_custom_bwd_matches_autodiff():
+    """The pair-scatter + roll-fold backward == XLA autodiff of the forward."""
+    from ngp_tpu.ops.hash_encoding import _encode_xadd
+
+    spec = _tiny_spec()
+    rng = np.random.default_rng(8)
+    table = jnp.asarray(rng.normal(size=(spec.n_levels, spec.padded_size, 2)), jnp.float32)
+    pos = jnp.asarray(rng.uniform(0, 1, (256, 3)), jnp.float32)
+    cot = jnp.asarray(rng.normal(size=(256, spec.n_output_dims)), jnp.float32)
+
+    def f_custom(tbl, p):
+        return jnp.sum(hash_encode(tbl, p, spec) * cot)
+
+    def f_auto(tbl, p):
+        return jnp.sum(_encode_xadd(tbl, p, spec) * cot)
+
+    gt_c, gp_c = jax.grad(f_custom, argnums=(0, 1))(table, pos)
+    gt_a, gp_a = jax.grad(f_auto, argnums=(0, 1))(table, pos)
+    # table grads accumulate in bf16 in the custom path -> bf16 tolerance
+    np.testing.assert_allclose(np.asarray(gt_c), np.asarray(gt_a), rtol=0.02, atol=0.02)
+    np.testing.assert_allclose(np.asarray(gp_c), np.asarray(gp_a), rtol=1e-3, atol=1e-3)
 
 
 # ----------------------------------------------------------------------- MLP

@@ -4,8 +4,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ngp_tpu.grid.occupancy import mip_from_dt as jmip_from_dt
-from ngp_tpu.sampling.lattice import count_samples, n_lattice_points, scatter_samples
+from ngp_tpu.ops.layout import build_layout
+from ngp_tpu.sampling.lattice import count_samples, n_lattice_points
 from ngp_tpu.sampling.training import generate_training_batch
 from ngp_tpu.utils.aabb import AABB
 from ngp_tpu.utils.config import SamplerConfig
@@ -42,47 +42,50 @@ def _np_march(cfg, occ, o, d, startt, n_lattice):
 
 
 def test_lattice_march_matches_bruteforce():
+    """count pass + sort compaction + layout bijection vs a per-ray loop."""
     cfg = SamplerConfig(grid_size=16, maximum_marching_steps=64)
     aabb = AABB.scene(1)
     rng = np.random.default_rng(11)
     occ = rng.uniform(size=(cfg.n_cascades, 16, 16, 16)) < 0.4
     n_lat = n_lattice_points(cfg)
+    dt = cfg.min_cone_stepsize
 
-    R = 32
+    R, s_pad = 32, 64
     o = rng.uniform(-0.5, 0.0, (R, 3)).astype(np.float32)
     d = rng.normal(size=(R, 3)).astype(np.float32)
     d /= np.linalg.norm(d, axis=-1, keepdims=True)
     d = np.abs(d)  # point toward the box
     startt = rng.uniform(0.3, 0.6, (R,)).astype(np.float32)
 
-    counts = np.asarray(
-        count_samples(cfg, aabb, jnp.asarray(occ), jnp.asarray(o), jnp.asarray(d), jnp.asarray(startt), n_lat)
+    counts, masks = count_samples(
+        cfg, aabb, jnp.asarray(occ), jnp.asarray(o), jnp.asarray(d), jnp.asarray(startt), n_lat, return_masks=True
     )
     expected = [_np_march(cfg, occ, o[r], d[r], startt[r], n_lat) for r in range(R)]
-    np.testing.assert_array_equal(counts, [len(e) for e in expected])
+    np.testing.assert_array_equal(np.asarray(counts), [len(e) for e in expected])
 
-    base = np.concatenate([[0], np.cumsum(counts)[:-1]]).astype(np.int32)
-    cap = int(counts.sum() + 8)
-    pos_w, dir_w, dts, ray_ids, valid = scatter_samples(
-        cfg,
-        aabb,
-        jnp.asarray(occ),
-        jnp.asarray(o),
-        jnp.asarray(d),
-        jnp.asarray(startt),
-        jnp.asarray(base),
-        jnp.asarray(counts > 0),
-        n_lat,
-        cap,
-    )
-    pos_w, ray_ids, valid = np.asarray(pos_w), np.asarray(ray_ids), np.asarray(valid)
+    # the compaction pipeline sampling/training.py runs inside the step
+    cap = int(np.asarray(counts).sum() + 8)
+    ray_valid = (counts > 0) & (counts <= s_pad)
+    counts_res = jnp.where(ray_valid, counts, 0)
+    base = jnp.cumsum(counts_res) - counts_res
+    ray_valid = ray_valid & (base + counts_res <= cap)
+    layout = build_layout(base, counts, ray_valid, cap, s_pad)
+    keys = jnp.where(masks & ray_valid[:, None], jnp.arange(n_lat, dtype=jnp.int32)[None], jnp.int32(n_lat))
+    lat_pad = jax.lax.sort(keys, dimension=1)[:, :s_pad]
+
+    rid = np.asarray(layout.ray_ids)
+    pir = np.asarray(layout.pos_in_ray)
+    fvalid = np.asarray(layout.flat_valid)
+    lat_np = np.asarray(lat_pad)
+    base_np = np.asarray(base)
     for r in range(R):
         for j, (p, t) in enumerate(expected[r]):
-            f = base[r] + j
-            assert valid[f] and ray_ids[f] == r
-            np.testing.assert_allclose(pos_w[f], p, atol=1e-5)  # aabb_scale=1: warp == identity
-    assert valid.sum() == counts.sum()
-    np.testing.assert_allclose(np.asarray(dir_w)[valid][:, 0], ((d[ray_ids] + 1) * 0.5)[valid][:, 0], atol=1e-6)
+            f = base_np[r] + j
+            assert fvalid[f] and rid[f] == r and pir[f] == j
+            li = lat_np[r, j]
+            pos = o[r] + (startt[r] + li * dt) * d[r]
+            np.testing.assert_allclose(pos, p, atol=1e-5)
+    assert fvalid.sum() == np.asarray(counts).sum()
 
 
 def test_generate_training_batch_shapes_and_consistency():
@@ -97,7 +100,7 @@ def test_generate_training_batch_shapes_and_consistency():
     for i in range(n_img):
         xf[i, :, :3] = np.eye(3)
         xf[i, :, 3] = [0.5, 0.5, -1.5]  # looking +z into the box
-    n_rays, cap = 64, 4096
+    n_rays, cap, s_pad = 64, 4096, 64
     batch = generate_training_batch(
         cfg,
         aabb,
@@ -111,18 +114,26 @@ def test_generate_training_batch_shapes_and_consistency():
         jnp.uint32(0),
         cap,
         n_lattice_points(cfg),
+        s_pad,
     )
-    counts = np.asarray(batch.counts)
-    valid = np.asarray(batch.valid)
-    ray_ids = np.asarray(batch.ray_ids)
-    base = np.asarray(batch.base)
+    layout = batch.layout
+    counts = np.asarray(layout.counts)
+    valid = np.asarray(layout.flat_valid)
+    ray_ids = np.asarray(layout.ray_ids)
+    base = np.asarray(layout.base)
     assert (counts > 0).any()
     assert valid.sum() == counts.sum() == int(batch.n_samples)
+    assert int(batch.max_ray_count) == counts.max()
     # flat layout: ray r's samples at [base_r, base_r + count_r), contiguous
     for r in np.flatnonzero(np.asarray(batch.ray_valid))[:8]:
         seg = slice(base[r], base[r] + counts[r])
         assert valid[seg].all() and (ray_ids[seg] == r).all()
-    # image stride pick: ray 0 -> img 0, last ray -> last img
+    # padded mask consistency
+    pad_valid = np.asarray(layout.pad_valid)
+    np.testing.assert_array_equal(pad_valid.sum(axis=1), counts)
+    # network inputs are warped into [0,1] on valid slots
+    pos = np.asarray(batch.pos)[valid]
+    assert pos.min() >= -1e-5 and pos.max() <= 1.0 + 1e-5
     # rgba targets are finite premultiplied values in [0,1]
     rgba = np.asarray(batch.rgba)
     assert np.isfinite(rgba).all() and rgba.min() >= 0 and rgba.max() <= 1.0 + 1e-3
@@ -143,5 +154,7 @@ def test_overflow_rays_dropped():
     base = jnp.cumsum(counts) - counts
     ray_valid = (counts > 0) & (base + counts <= cap)
     assert int(ray_valid.sum()) == 2
-    _, _, _, _, valid = scatter_samples(cfg, aabb, occ, o, d, startt, base, ray_valid, n_lat, cap)
-    assert int(valid.sum()) == 2 * c
+    layout = build_layout(base, counts, ray_valid, cap, 64)
+    assert int(layout.flat_valid.sum()) == 2 * c
+    # slots of dropped rays are holes, not reassigned
+    assert int(layout.counts.sum()) == 2 * c
