@@ -182,10 +182,19 @@ def occupancy_lookup(cfg: SamplerConfig, occupancy, pos, mip):
     scale into the mip's cube, floor to cell coords, clamp to [0, G-1].
     """
     g = cfg.grid_size
-    mip_scale = jnp.exp2(-mip.astype(jnp.float32))[..., None]
+    # exp2(-mip) for small int mip, as exponent-bit construction (no transcendental)
+    mip_scale = jax.lax.bitcast_convert_type((127 - mip) << 23, jnp.float32)[..., None]
     p = (pos - 0.5) * mip_scale + 0.5
     cell = jnp.clip(jnp.floor(p * g).astype(jnp.int32), 0, g - 1)
     return occupancy[mip, cell[..., 0], cell[..., 1], cell[..., 2]]
+
+
+def _frexp_exponent(x):
+    """frexpf exponent via float32 exponent bits: e with x = f*2^e, f in
+    [0.5, 1) — exact for normalized x (subnormals land far below any clamp
+    this is used with). ~3 integer ops instead of log2 + two corrections."""
+    bits = jax.lax.bitcast_convert_type(x.astype(jnp.float32), jnp.int32)
+    return ((bits >> 23) & 0xFF) - 126
 
 
 def mip_from_pos(pos, n_cascades: int):
@@ -195,25 +204,28 @@ def mip_from_pos(pos, n_cascades: int):
     with maxval in [2^(e-1), 2^e); mip = clamp(e+1, 0, n_cascades-1).
     """
     maxval = jnp.max(jnp.abs(pos - 0.5), axis=-1)
-    # frexpf exponent: ceil(log2(maxval)) with exact powers of two mapping to
-    # themselves+1... frexp(m)=e such that m = f*2^e, f in [0.5,1).
-    safe = jnp.maximum(maxval, 1e-30)
-    e = jnp.floor(jnp.log2(safe)) + 1.0
-    # guard against log2 rounding at exact powers of two: frexp(0.5) -> e=0
-    e = jnp.where(jnp.exp2(e - 1.0) > safe, e - 1.0, e)
-    e = jnp.where(jnp.exp2(e) <= safe, e + 1.0, e)
-    mip = jnp.clip(e.astype(jnp.int32) + 1, 0, n_cascades - 1)
+    mip = jnp.clip(_frexp_exponent(maxval) + 1, 0, n_cascades - 1)
     # frexp(0) has exponent 0 -> reference yields mip min(1, n_cascades-1)
     return jnp.where(maxval == 0.0, jnp.minimum(1, n_cascades - 1), mip)
+
+
+def static_dt_mip(dt: float, grid_size: int, n_cascades: int) -> int:
+    """Host-side dt-driven mip floor for a CONSTANT step size (cu:223-230):
+    -1 when dt spans less than half a cell (no floor), else the clamp'd
+    exponent. The c=0 marcher's dt is config-static, so this never needs to
+    be computed per sample."""
+    import math
+
+    d = dt * 2.0 * grid_size
+    if d < 1.0:
+        return -1
+    _, e = math.frexp(d)
+    return int(np.clip(e, 0, n_cascades - 1))
 
 
 def mip_from_dt(dt, pos, grid_size: int, n_cascades: int):
     """Cascade from position, bumped up if dt spans more than half a cell (cu:223-230)."""
     mip = mip_from_pos(pos, n_cascades)
     d = dt * 2.0 * grid_size
-    safe = jnp.maximum(d, 1e-30)
-    e = jnp.floor(jnp.log2(safe)) + 1.0
-    e = jnp.where(jnp.exp2(e - 1.0) > safe, e - 1.0, e)
-    e = jnp.where(jnp.exp2(e) <= safe, e + 1.0, e)
-    dt_mip = jnp.clip(e.astype(jnp.int32), 0, n_cascades - 1)
+    dt_mip = jnp.clip(_frexp_exponent(d), 0, n_cascades - 1)
     return jnp.where(d < 1.0, mip, jnp.maximum(mip, dt_mip))

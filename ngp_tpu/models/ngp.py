@@ -21,7 +21,12 @@ from dataclasses import dataclass
 import jax
 import jax.numpy as jnp
 
-from ngp_tpu.ops.hash_encoding import HashGridSpec, hash_encode, hash_table_init
+from ngp_tpu.ops.hash_encoding import (
+    HashGridSpec,
+    hash_encode,
+    hash_encode_const_pos,
+    hash_table_init,
+)
 from ngp_tpu.ops.mlp import mlp_apply, mlp_init
 from ngp_tpu.ops.sh_encoding import sh_encode
 from ngp_tpu.utils.config import NetworkConfig
@@ -66,13 +71,16 @@ class NGPModel:
         return sum(int(x.size) for x in jax.tree_util.tree_leaves(params))
 
     # --------------------------------------------------------------- forward
-    def density_raw(self, params, pos):
+    def density_raw(self, params, pos, pos_grad: bool = False):
         """pos: (N, 3) warped in [0,1] -> raw density-head output (N, 16).
 
         Channel 0 is raw log-density. Reference: NGPNetwork::density
-        (ngp_network.h:286) = pos encode -> density MLP.
+        (ngp_network.h:286) = pos encode -> density MLP. `pos_grad=True`
+        keeps the analytic d/dpos path in the encoding backward (needed by
+        input_gradient); training/grid paths leave it off.
         """
-        enc = hash_encode(params["hash_table"], pos, self.grid_spec)
+        encode = hash_encode if pos_grad else hash_encode_const_pos
+        enc = encode(params["hash_table"], pos, self.grid_spec)
         cfg = self.config.density_mlp
         return mlp_apply(params["density_mlp"], enc, cfg.activation, cfg.output_activation)
 
@@ -88,7 +96,7 @@ class NGPModel:
         TPU; recomputing them costs negligible MXU time. Only the hash
         encoding output (N, L*F) is saved.
         """
-        enc = hash_encode(params["hash_table"], pos, self.grid_spec)
+        enc = hash_encode_const_pos(params["hash_table"], pos, self.grid_spec)
         sh = sh_encode(warped_dir, self.config.sh_degree)
         dcfg = self.config.density_mlp
         rcfg = self.config.rgb_mlp
@@ -110,7 +118,7 @@ class NGPModel:
         encoding's analytic trilinear derivative."""
 
         def sigma_sum(p):
-            raw = self.density_raw(params, p)[..., 0]
+            raw = self.density_raw(params, p, pos_grad=True)[..., 0]
             return jnp.sum(apply_density_activation(raw, density_activation))
 
         return jax.grad(sigma_sum)(pos)

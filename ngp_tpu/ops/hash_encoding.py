@@ -285,36 +285,41 @@ def _pair_indices_weights(pos, scale, res, dense, size):
     return rows, wy * wz, wx0, dx_live
 
 
-def _pair_table(tbl_l):
-    """(T_pad, F) -> overlapping pair view (T_pad, 2F): P[i] = [t[i], t[i+1 mod T]]."""
-    return jnp.concatenate([tbl_l, jnp.roll(tbl_l, -1, axis=0)], axis=-1)
+def _pair_tables(table):
+    """(L, T_pad, F) -> overlapping pair view (L, T_pad, 2F):
+    P[l, i] = [t[l, i], t[l, i+1 mod T]]. Built OUTSIDE the level scan —
+    measured 20% faster forward than building per level inside it (the
+    gather emitter prefers a materialized parameter-like operand)."""
+    return jnp.concatenate([table, jnp.roll(table, -1, axis=1)], axis=-1)
 
 
 def _encode_xadd(table, pos, spec: HashGridSpec):
     f = spec.n_features
     lc = spec.level_constants()
+    pair_tables = _pair_tables(table)
 
     def body(_, xs):
-        tbl_l, scale, res, dense, size = xs
+        pair_l, scale, res, dense, size = xs
         rows, wyz, wx0, _ = _pair_indices_weights(pos, scale, res, dense, size)
-        feats = _pair_table(tbl_l)[rows].astype(jnp.float32)  # (N, 4, 2F)
+        feats = pair_l[rows].astype(jnp.float32)  # (N, 4, 2F)
         pair = feats.reshape(feats.shape[0], 4, 2, f)
         wx = jnp.stack([wx0, 1.0 - wx0], axis=-1)  # (N, 2)
         w = wyz[..., None] * wx[:, None, :]  # (N, 4, 2)
         return None, jnp.sum(pair * w[..., None], axis=(1, 2))  # (N, F)
 
-    _, outs = jax.lax.scan(body, None, (table, lc["scale"], lc["res"], lc["dense"], lc["size"]))
+    _, outs = jax.lax.scan(body, None, (pair_tables, lc["scale"], lc["res"], lc["dense"], lc["size"]))
     return jnp.transpose(outs, (1, 0, 2)).reshape(pos.shape[0], spec.n_output_dims)
 
 
-def _bwd_xadd(table, pos, spec: HashGridSpec, g):
+def _bwd_xadd(table, pos, spec: HashGridSpec, g, need_pos_grad: bool = True):
     f = spec.n_features
     n = pos.shape[0]
     lc = spec.level_constants()
     g_levels = g.reshape(n, spec.n_levels, f).transpose(1, 0, 2)  # (L, N, F)
+    pair_tables = _pair_tables(table) if need_pos_grad else jnp.zeros((spec.n_levels, 1, 2 * f))
 
     def body(_, xs):
-        tbl_l, g_l, scale, res, dense, size = xs
+        pair_l, g_l, scale, res, dense, size = xs
         rows, wyz, wx0, dx_live = _pair_indices_weights(pos, scale, res, dense, size)
         wx = jnp.stack([wx0, 1.0 - wx0], axis=-1)  # (N, 2)
         w = wyz[..., None] * wx[:, None, :]  # (N, 4, 2)
@@ -328,8 +333,11 @@ def _bwd_xadd(table, pos, spec: HashGridSpec, g):
         # at row i and second-half contributions at row i-1 (mod T)
         d_l = acc[:, :f].astype(jnp.float32) + jnp.roll(acc[:, f:], 1, axis=0).astype(jnp.float32)
 
-        # d(out)/d(pos): DCE'd by XLA when the pos cotangent is unused
-        feats = _pair_table(tbl_l)[rows].reshape(n, 4, 2, f)
+        if not need_pos_grad:
+            return None, (d_l.astype(table.dtype), jnp.zeros((n, 3)))
+
+        # d(out)/d(pos): analytic trilinear derivative
+        feats = pair_l[rows].reshape(n, 4, 2, f)
         s = jnp.einsum("nkcf,nf->nkc", feats, g_l)  # (N, 4, 2)
         interp_x = s[..., 0] * wx0[:, None] + s[..., 1] * (1.0 - wx0[:, None])  # (N,4)
         dx = dx_live * jnp.sum(wyz * (s[..., 1] - s[..., 0]), axis=1) * scale
@@ -346,7 +354,7 @@ def _bwd_xadd(table, pos, spec: HashGridSpec, g):
         return None, (d_l.astype(table.dtype), jnp.stack([dx, dy, dz], axis=-1))
 
     _, (d_table, d_pos_levels) = jax.lax.scan(
-        body, None, (table, g_levels, lc["scale"], lc["res"], lc["dense"], lc["size"])
+        body, None, (pair_tables, g_levels, lc["scale"], lc["res"], lc["dense"], lc["size"])
     )
     return d_table, jnp.sum(d_pos_levels, axis=0)
 
@@ -379,3 +387,30 @@ def _hash_encode_bwd(spec: HashGridSpec, res_, g):
 
 
 hash_encode.defvjp(_hash_encode_fwd, _hash_encode_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def hash_encode_const_pos(table, pos, spec: HashGridSpec):
+    """hash_encode with the d/dpos path structurally absent from the
+    backward (d_pos == 0). Training and grid maintenance never differentiate
+    through sample positions, but XLA's scan-output DCE only partially
+    eliminates the analytic pos-derivative (measured ~65 ms/step residue on
+    v5e); this variant removes it at trace time. Use plain `hash_encode`
+    where d/dpos matters (input_gradient / Normals)."""
+    return _hash_encode_impl(table, pos, spec)
+
+
+def _hash_encode_cp_fwd(table, pos, spec: HashGridSpec):
+    return hash_encode_const_pos(table, pos, spec), (table, pos)
+
+
+def _hash_encode_cp_bwd(spec: HashGridSpec, res_, g):
+    table, pos = res_
+    if spec.variant == "xadd":
+        d_table, _ = _bwd_xadd(table, pos, spec, g, need_pos_grad=False)
+    else:
+        d_table, _ = _bwd_tcnn(table, pos, spec, g)
+    return d_table, jnp.zeros_like(pos)
+
+
+hash_encode_const_pos.defvjp(_hash_encode_cp_fwd, _hash_encode_cp_bwd)

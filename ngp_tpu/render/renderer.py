@@ -27,7 +27,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ngp_tpu.grid.occupancy import mip_from_dt, occupancy_lookup
+from ngp_tpu.grid.occupancy import mip_from_pos, occupancy_lookup, static_dt_mip
 from ngp_tpu.models.ngp import NGPModel, apply_density_activation, apply_rgb_activation
 from ngp_tpu.sampling.lattice import n_lattice_points
 from ngp_tpu.utils.aabb import AABB, warp_dt
@@ -61,7 +61,10 @@ def collect_render_samples(scfg, aabb: AABB, occupancy, o, d, startt, alive, n_l
         inside = aabb.contains(pos)
         # reference breaks at the first point outside the box (cu:580-583)
         reachable = still[:, None] & (jnp.cumprod(inside, axis=1) > 0)
-        mip = mip_from_dt(jnp.full_like(t, dt), pos, scfg.grid_size, scfg.n_cascades)
+        mip = mip_from_pos(pos, scfg.n_cascades)
+        dt_mip = static_dt_mip(dt, scfg.grid_size, scfg.n_cascades)
+        if dt_mip >= 0:
+            mip = jnp.maximum(mip, dt_mip)
         occ = occupancy_lookup(scfg, occupancy, pos, mip)
         mask = reachable & occ & alive[:, None]
         ordinal = taken[:, None] + jnp.cumsum(mask, axis=1) - mask.astype(jnp.int32)
@@ -246,7 +249,10 @@ def count_render_samples(config: NGPConfig, occupancy, o, d, spp):
         pos = o[:, None, :] + ts[..., None] * d[:, None, :]
         inside = aabb.contains(pos)
         reachable = still[:, None] & (jnp.cumprod(inside, axis=1) > 0)
-        mip = mip_from_dt(jnp.full_like(ts, dt), pos, scfg.grid_size, scfg.n_cascades)
+        mip = mip_from_pos(pos, scfg.n_cascades)
+        dt_mip = static_dt_mip(dt, scfg.grid_size, scfg.n_cascades)
+        if dt_mip >= 0:
+            mip = jnp.maximum(mip, dt_mip)
         occ = occupancy_lookup(scfg, occupancy, pos, mip)
         mask = reachable & occ & alive[:, None]
         return (taken + jnp.sum(mask, axis=1, dtype=jnp.int32), reachable[:, -1]), None

@@ -27,7 +27,7 @@ peak extra memory at [n_rays, chunk, 3]. The only full-width product is the
 import jax
 import jax.numpy as jnp
 
-from ngp_tpu.grid.occupancy import mip_from_dt, occupancy_lookup
+from ngp_tpu.grid.occupancy import mip_from_pos, occupancy_lookup, static_dt_mip
 from ngp_tpu.utils.aabb import AABB, warp_dt
 from ngp_tpu.utils.config import SamplerConfig
 
@@ -67,7 +67,11 @@ def _chunk_mask(cfg: SamplerConfig, aabb: AABB, occupancy, o, d, startt, chunk_s
     inside = aabb.contains(pos)
     # prefix-AND: a point is reachable only if every earlier point was inside
     reachable = still_inside[:, None] & (jnp.cumprod(inside, axis=1) > 0)
-    mip = mip_from_dt(jnp.full_like(t, dt), pos, cfg.grid_size, cfg.n_cascades)
+    # dt is config-static, so its mip floor is too (cu:223-230)
+    mip = mip_from_pos(pos, cfg.n_cascades)
+    dt_mip = static_dt_mip(dt, cfg.grid_size, cfg.n_cascades)
+    if dt_mip >= 0:
+        mip = jnp.maximum(mip, dt_mip)
     occ = occupancy_lookup(cfg, occupancy, pos, mip)
     mask = reachable & occ
     # enforce the per-ray sample cap (the reference's `j < n_max_steps`)

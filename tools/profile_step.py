@@ -1,0 +1,127 @@
+"""Component breakdown of the train step on the real chip.
+
+Times (via device->host readback sync, the only reliable sync through the
+axon tunnel — see ROADMAP round-2 methodology note):
+  - full train() call (16 steps + grid update)
+  - per-step: full step vs batch-gen-only vs fwd-loss-only (no grad)
+  - grid update alone
+Run: python tools/profile_step.py [n_rays] [s_pad]
+"""
+
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def sync(x):
+    np.asarray(jax.tree_util.tree_leaves(x)[0].ravel()[0])  # force readback
+
+
+def main():
+    n_rays = int(sys.argv[1]) if len(sys.argv) > 1 else 16384
+    s_pad = int(sys.argv[2]) if len(sys.argv) > 2 else 256
+
+    from ngp_tpu.data.nerf_synthetic import load_nerf_synthetic
+    from ngp_tpu.data.synthetic import write_synthetic_dataset
+    from ngp_tpu.models.ngp import apply_density_activation
+    from ngp_tpu.sampling.lattice import n_lattice_points
+    from ngp_tpu.sampling.training import generate_training_batch
+    from ngp_tpu.train.trainer import Trainer, TrainingLoop
+    from ngp_tpu.utils.config import NGPConfig
+
+    cache = Path("/tmp/ngp_tpu_bench_scene_v1")
+    if not (cache / "transforms_train.json").exists():
+        cache.mkdir(parents=True, exist_ok=True)
+        write_synthetic_dataset(cache, n_train=12, n_test=1, width=96, height=96)
+    ds = load_nerf_synthetic(cache / "transforms_train.json")
+
+    config = NGPConfig.from_json({})
+    trainer = Trainer.create(config)
+    state = trainer.init_state(seed=43)
+    loop = TrainingLoop(trainer, ds)
+
+    # converge grid + controller
+    t0 = time.perf_counter()
+    for _ in range(8):
+        state = loop.train(state, 16)
+        print(
+            f"# warm i={loop.i_step} n_rays={loop.n_rays_per_batch} s_pad={loop.s_pad} "
+            f"measured={loop.measured_batch_size:.0f} bc={loop.measured_batch_size_before_compaction:.0f} "
+            f"prep={loop.training_prep_ms:.0f}ms train={loop.training_ms:.0f}ms",
+            flush=True,
+        )
+    print(f"# warm total {time.perf_counter()-t0:.1f}s")
+
+    # pin shapes
+    n_rays = loop.n_rays_per_batch
+    s_pad = loop.s_pad
+    cap = loop.capacity
+    print(f"# pinned: n_rays={n_rays} s_pad={s_pad} cap={cap}")
+
+    scfg = config.sampler
+    n_lat = n_lattice_points(scfg)
+    aabb = trainer.aabb
+
+    # component fns
+    @jax.jit
+    def batch_only(rng, occupancy, images, xforms, focal):
+        batch = generate_training_batch(
+            scfg, aabb, images, xforms, focal, (0.5, 0.5), occupancy,
+            rng, n_rays, jnp.uint32(0), cap, n_lat, s_pad,
+        )
+        return batch.pos.sum() + batch.n_samples
+
+    @jax.jit
+    def fwd_only(params, pos, dirs):
+        rgb_raw, sigma_raw = trainer.model.rgbsigma_raw(params, pos, dirs)
+        return rgb_raw.sum() + sigma_raw.sum()
+
+    @jax.jit
+    def density_only(params, pos):
+        return trainer.model.density_raw(params, pos).sum()
+
+    step_fn = trainer.train_step(n_rays, cap, s_pad)
+    images, xforms, focal = ds.images, ds.xforms, jnp.asarray(ds.focal_length)
+
+    def timeit(name, fn, reps=8):
+        fn()  # compile+warm
+        fn()
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            fn()
+        dtms = (time.perf_counter() - t0) / reps * 1e3
+        print(f"{name:28s} {dtms:8.1f} ms", flush=True)
+        return dtms
+
+    rng = jax.random.PRNGKey(7)
+    pos = jax.random.uniform(rng, (cap, 3))
+    dirs = jax.random.uniform(rng, (cap, 3))
+
+    timeit("batch_gen", lambda: sync(batch_only(rng, state.grid.occupancy, images, xforms, focal)))
+    timeit("fwd (hash+mlps, no grad)", lambda: sync(fwd_only(state.params, pos, dirs)))
+    timeit("density_only (grid upd fwd)", lambda: sync(density_only(state.params, pos)))
+
+    # full step: state donation means we must thread it
+    st = state
+    def full_step():
+        nonlocal st
+        st, stats = step_fn(st, images, xforms, focal, jnp.uint32(0))
+        sync(stats["loss_sum"])
+    timeit("full train step", full_step, reps=8)
+
+    gu = trainer.grid_update(loop.i_step)
+    def grid_update():
+        nonlocal st
+        st = gu(st)
+        sync(st.grid.mean_density)
+    timeit("grid_update (per call)", grid_update, reps=4)
+
+
+if __name__ == "__main__":
+    main()
