@@ -39,16 +39,53 @@ class GridState(NamedTuple):
     occupancy: jnp.ndarray  # (n_cascades, G, G, G) bool
     mean_density: jnp.ndarray  # () fp32
     step: jnp.ndarray  # () int32 — grid-update counter (i_step)
+    # world AABB of all occupied cells, (2, 3) [lo; hi] — marchers clip rays
+    # to it and skip the provably-empty lattice prefix (exact: occupancy
+    # outside this box is false by construction)
+    occ_aabb: jnp.ndarray = None
 
 
 def create_grid_state(cfg: SamplerConfig) -> GridState:
     g = cfg.grid_size
+    scale = float(1 << (cfg.n_cascades - 1))
+    full = jnp.stack(
+        [jnp.full((3,), 0.5 - 0.5 * scale), jnp.full((3,), 0.5 + 0.5 * scale)]
+    )
     return GridState(
         density=jnp.zeros((cfg.n_total_elements,), jnp.float32),
         occupancy=jnp.zeros((cfg.n_cascades, g, g, g), bool),
         mean_density=jnp.zeros((), jnp.float32),
         step=jnp.zeros((), jnp.int32),
+        occ_aabb=full,
     )
+
+
+def occupied_aabb(cfg: SamplerConfig, occupancy) -> jnp.ndarray:
+    """World-space AABB of every occupied cell, (2, 3) f32 [lo; hi].
+
+    Union over cascades (cascade c's cells span the cube of side 2^c centered
+    at 0.5). An entirely-empty grid returns a degenerate point box at the
+    scene center, which no lattice point ever falls inside.
+    """
+    g = cfg.grid_size
+    los, his = [], []
+    for c in range(cfg.n_cascades):
+        occ = occupancy[c]  # (G, G, G), axes (x, y, z)
+        nonempty = jnp.any(occ)
+        lo_i, hi_i = [], []
+        for ax in range(3):
+            v = jnp.any(occ, axis=tuple(i for i in range(3) if i != ax))  # (G,)
+            lo_i.append(jnp.argmax(v).astype(jnp.int32))
+            hi_i.append(g - 1 - jnp.argmax(v[::-1]).astype(jnp.int32))
+        lo_u = jnp.stack(lo_i).astype(jnp.float32) / g
+        hi_u = (jnp.stack(hi_i).astype(jnp.float32) + 1.0) / g
+        scale = float(1 << c)
+        los.append(jnp.where(nonempty, (lo_u - 0.5) * scale + 0.5, jnp.inf))
+        his.append(jnp.where(nonempty, (hi_u - 0.5) * scale + 0.5, -jnp.inf))
+    lo = jnp.min(jnp.stack(los), axis=0)
+    hi = jnp.max(jnp.stack(his), axis=0)
+    empty = lo[0] > hi[0]
+    return jnp.stack([jnp.where(empty, 0.5, lo), jnp.where(empty, 0.5, hi)])
 
 
 def cell_centers(cfg: SamplerConfig, cascade: int):
@@ -76,20 +113,33 @@ def mark_untrained_grid(cfg: SamplerConfig, resolution, focal_length, xforms) ->
     half_resx, half_resy = 0.5 * res[0], 0.5 * res[1]
     xforms = jnp.asarray(xforms, jnp.float32)  # (n_images, 3, 4)
 
+    # chunk over cells so the (cells x images x 3) visibility tensor never
+    # materializes whole: 100-image 800^2 datasets would otherwise peak at
+    # ~2.5 GB per cascade (the reference runs one thread per cell, cu:18-61)
+    chunk = min(1 << 16, cfg.n_grid_elements)  # pow2, divides G^3
+
+    def visible_any(pos, voxel_radius):
+        def body(_, p):
+            ploc = p[:, None, :] - xforms[None, :, :, 3]  # (chunk, n_images, 3)
+            cam_x = jnp.einsum("pnc,nc->pn", ploc, xforms[:, :, 0])
+            cam_y = jnp.einsum("pnc,nc->pn", ploc, xforms[:, :, 1])
+            cam_z = jnp.einsum("pnc,nc->pn", ploc, xforms[:, :, 2])
+            vis = (
+                (cam_z > 0)
+                & (jnp.abs(cam_x) - voxel_radius < cam_z / fx * half_resx)
+                & (jnp.abs(cam_y) - voxel_radius < cam_z / fy * half_resy)
+            )
+            return None, jnp.any(vis, axis=1)
+
+        n = pos.shape[0]
+        _, vis = jax.lax.scan(body, None, pos.reshape(n // chunk, chunk, 3))
+        return vis.reshape(n)
+
     grids = []
     for c in range(cfg.n_cascades):
         pos = cell_centers(cfg, c)  # (G^3, 3)
         voxel_radius = 0.5 * np.sqrt(3.0) * (1 << c) / cfg.grid_size
-        ploc = pos[:, None, :] - xforms[None, :, :, 3]  # (G^3, n_images, 3)
-        cam_x = jnp.einsum("pnc,nc->pn", ploc, xforms[:, :, 0])
-        cam_y = jnp.einsum("pnc,nc->pn", ploc, xforms[:, :, 1])
-        cam_z = jnp.einsum("pnc,nc->pn", ploc, xforms[:, :, 2])
-        visible = (
-            (cam_z > 0)
-            & (jnp.abs(cam_x) - voxel_radius < cam_z / fx * half_resx)
-            & (jnp.abs(cam_y) - voxel_radius < cam_z / fy * half_resy)
-        )
-        grids.append(jnp.where(jnp.any(visible, axis=1), 0.0, -1.0))
+        grids.append(jnp.where(visible_any(pos, voxel_radius), 0.0, -1.0))
     return jnp.concatenate(grids)
 
 
@@ -110,17 +160,31 @@ def sample_grid_positions(cfg: SamplerConfig, density, key, n_uniform: int, n_no
     levels = jax.random.randint(k_level, (n_total,), 0, cfg.n_cascades, jnp.int32)
 
     # candidate cells: the reference's multiplicative stride sequence (cu:87)
-    j = jnp.arange(10, dtype=jnp.uint32)
-    cand = ((i + jnp.uint32(step) * jnp.uint32(n_total))[:, None] * jnp.uint32(56924617) + j[None, :] * jnp.uint32(19349663) + jnp.uint32(96925573)) % jnp.uint32(cfg.n_grid_elements)
-    cand = cand.astype(jnp.int32) + levels[:, None] * cfg.n_grid_elements  # (N, 10)
+    cand0 = ((i + jnp.uint32(step) * jnp.uint32(n_total)) * jnp.uint32(56924617) + jnp.uint32(96925573)) % jnp.uint32(cfg.n_grid_elements)
+    cand0 = cand0.astype(jnp.int32) + levels * cfg.n_grid_elements  # (N,)
 
-    thresh = jnp.where(jnp.arange(n_total) < n_uniform, -0.01, cfg.min_optical_thickness)
-    vals = density[cand]  # (N, 10)
-    ok = vals > thresh[:, None]
-    # first passing candidate, else the last one (reference keeps the final j)
-    first = jnp.argmax(ok, axis=1)
-    pick = jnp.where(jnp.any(ok, axis=1), first, 9)
-    idx = jnp.take_along_axis(cand, pick[:, None], axis=1)[:, 0]
+    # UNIFORM half: the reference retries up to 10 candidates until one
+    # passes threshold -0.01, i.e. skips untrained (-1) cells (cu:87-93).
+    # Retrying is splat-IMMUNE here — splat_density_ema leaves prev<0 cells
+    # at -1 no matter what lands on them — so the first candidate is kept
+    # unconditionally: same grid dynamics, zero density gathers, at the cost
+    # of occasionally spending a density eval on an untrained cell.
+    # NONUNIFORM half: first-of-10 above min_optical_thickness, as cu:87.
+    if n_nonuniform > 0:
+        j = jnp.arange(1, 10, dtype=jnp.uint32)
+        i_n = i[n_uniform:]
+        cand_n = ((i_n + jnp.uint32(step) * jnp.uint32(n_total))[:, None] * jnp.uint32(56924617) + j[None, :] * jnp.uint32(19349663) + jnp.uint32(96925573)) % jnp.uint32(cfg.n_grid_elements)
+        cand_n = jnp.concatenate(
+            [cand0[n_uniform:, None], cand_n.astype(jnp.int32) + levels[n_uniform:, None] * cfg.n_grid_elements], axis=1
+        )  # (Nn, 10)
+        ok = density[cand_n] > cfg.min_optical_thickness
+        # first passing candidate, else the last one (reference keeps final j)
+        first = jnp.argmax(ok, axis=1)
+        pick = jnp.where(jnp.any(ok, axis=1), first, 9)
+        idx_n = jnp.take_along_axis(cand_n, pick[:, None], axis=1)[:, 0]
+        idx = jnp.concatenate([cand0[:n_uniform], idx_n])
+    else:
+        idx = cand0
 
     # random position within the chosen cell (cu:95-101), linear addressing
     local = idx % cfg.n_grid_elements
@@ -129,7 +193,8 @@ def sample_grid_positions(cfg: SamplerConfig, density, key, n_uniform: int, n_no
     z = local // (g * g)
     cell = jnp.stack([x, y, z], axis=-1).astype(jnp.float32)
     u = jax.random.uniform(k_pos, (n_total, 3))
-    mip_scale = jnp.exp2(levels.astype(jnp.float32))[:, None]
+    # exp2(levels) for small int levels via exponent-bit construction
+    mip_scale = jax.lax.bitcast_convert_type((127 + idx // cfg.n_grid_elements) << 23, jnp.float32)[:, None]
     pos = ((cell + u) / g - 0.5) * mip_scale + 0.5
     return pos, idx
 
@@ -172,7 +237,10 @@ def update_occupancy(cfg: SamplerConfig, state: GridState) -> GridState:
         q = g // 4
         merged = occ[c].at[q : 3 * q, q : 3 * q, q : 3 * q].set(occ[c][q : 3 * q, q : 3 * q, q : 3 * q] | pooled)
         levels.append(merged)
-    return state._replace(occupancy=jnp.stack(levels), mean_density=mean)
+    occupancy = jnp.stack(levels)
+    return state._replace(
+        occupancy=occupancy, mean_density=mean, occ_aabb=occupied_aabb(cfg, occupancy)
+    )
 
 
 def occupancy_lookup(cfg: SamplerConfig, occupancy, pos, mip):
@@ -186,7 +254,10 @@ def occupancy_lookup(cfg: SamplerConfig, occupancy, pos, mip):
     mip_scale = jax.lax.bitcast_convert_type((127 - mip) << 23, jnp.float32)[..., None]
     p = (pos - 0.5) * mip_scale + 0.5
     cell = jnp.clip(jnp.floor(p * g).astype(jnp.int32), 0, g - 1)
-    return occupancy[mip, cell[..., 0], cell[..., 1], cell[..., 2]]
+    # flattened 1-D gather: measured 1.6x faster than the 4-D fancy index on
+    # v5e (tools/mb8.py; the multi-dim gather emitter is per-row slower)
+    flat = ((mip * g + cell[..., 0]) * g + cell[..., 1]) * g + cell[..., 2]
+    return occupancy.reshape(-1)[flat]
 
 
 def _frexp_exponent(x):

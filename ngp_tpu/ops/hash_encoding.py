@@ -12,9 +12,24 @@ al. 2022) and tcnn's grid:
    the table, otherwise a spatial hash mod T
  * F features per level, outputs concatenated level-major -> L*F dims
 
-Two hash variants (spec.variant):
+Three hash variants (spec.variant):
 
- * "xadd" (default, fast): idx = (x + (y*2654435761 ^ z*805459861)) mod T.
+ * "oadd" (default, fastest): fully-additive linear hash
+   idx = (x + y*258583 + z*253757) mod T. ALL EIGHT corners of a sample's
+   cell live at fixed offsets {0, 1, sy, sy+1, sz, sz+1, sy+sz, sy+sz+1}
+   from the base index, so the whole cell is fetched through ONE row of a
+   precomputed OCT TABLE O[i] = [t[i+o] for o in offsets] of width 8F:
+   1 gather row and 1 scatter row per sample per level (v5e XLA gathers
+   are ~flat in width to 16 f32 and scatters flat to 32 bf16 —
+   tools/mb6.py — so row count is everything). The backward scatters
+   (N, 8F) contributions into an oct accumulator and folds it with 8
+   static rolls. Dense levels use strides (1, res, res^2) and clamp each
+   dim's corner pair at the boundary by shifting its weight. The strides
+   were chosen by a collision-lattice search (tools note below): the
+   nearest pair of grid cells that ever collides is ~87 cells apart at
+   the finest resolution — farther than tcnn's own primes would give as
+   linear strides (39) and beyond any feature correlation length.
+ * "xadd": idx = (x + (y*2654435761 ^ z*805459861)) mod T.
    x enters ADDITIVELY, so the two corners differing only in x occupy
    ADJACENT table rows (for dense levels the x-stride is already 1). The
    level is then fetched through an overlapping PAIR TABLE P[i] = [tbl[i],
@@ -54,6 +69,13 @@ import numpy as np
 from ngp_tpu.utils.config import HashEncodingConfig
 
 _PRIMES = np.array([1, 2654435761, 805459861], dtype=np.uint32)
+
+# "oadd" linear-hash strides: searched (random search over odd pairs, window
+# |dy|,|dz| <= 128) to maximize the minimum euclidean distance of any two
+# colliding cells in the collision lattice {d : dx + SY*dy + SZ*dz = 0 mod
+# 2^19}; the winner reaches 86.7 cells (theoretical scale T^(1/3) = 80.6).
+_OCT_SY = 258583
+_OCT_SZ = 253757
 
 # 8 corner offsets of a unit cube, shape (8, 3)
 _CORNERS = np.array([[(c >> 0) & 1, (c >> 1) & 1, (c >> 2) & 1] for c in range(8)], dtype=np.float32)
@@ -360,10 +382,148 @@ def _bwd_xadd(table, pos, spec: HashGridSpec, g, need_pos_grad: bool = True):
 
 
 # --------------------------------------------------------------------------
+# oadd variant: ONE oct row per sample per level (both directions)
+# --------------------------------------------------------------------------
+
+def _oct_offsets(spec: HashGridSpec, l: int):
+    """Static (sy, sz, offsets[8]) for level l. offsets[k] is the table
+    offset of corner k (bit0=x, bit1=y, bit2=z) from the cell's base index;
+    hash-level offsets wrap mod size, which the oct-table roll reproduces
+    exactly because every hash level's size equals padded_size."""
+    size = spec.sizes[l]
+    if spec.dense[l]:
+        sy, sz = spec.resolutions[l], spec.resolutions[l] ** 2
+    else:
+        sy, sz = _OCT_SY % size, _OCT_SZ % size
+    offs = [((k & 1) + ((k >> 1) & 1) * sy + ((k >> 2) & 1) * sz) % size for k in range(8)]
+    return sy, sz, offs
+
+
+def _oct_strides(spec: HashGridSpec):
+    per = [_oct_offsets(spec, l) for l in range(spec.n_levels)]
+    sy = jnp.asarray([p[0] for p in per], jnp.int32)
+    sz = jnp.asarray([p[1] for p in per], jnp.int32)
+    off = jnp.asarray([p[2] for p in per], jnp.int32)  # (L, 8)
+    return sy, sz, off
+
+
+def _oct_tables(table, spec: HashGridSpec):
+    """(L, T_pad, F) -> oct view (L, T_pad, 8F): O[l, i] = [t[l, i+o] for o
+    in offsets(l)]. Built with STATIC per-level rolls outside the scan
+    (contiguous copies, no gathers)."""
+    per_level = []
+    for l in range(spec.n_levels):
+        _, _, offs = _oct_offsets(spec, l)
+        t = table[l]
+        per_level.append(jnp.concatenate([jnp.roll(t, -o, axis=0) for o in offs], axis=-1))
+    return jnp.stack(per_level)
+
+
+def _oct_base_weights(pos, scale, res, dense, size, sy, sz):
+    """Base row + per-dim corner weights for ONE level (traced constants).
+
+    Returns (idx0 (N,) i32, W (N, 8, 3) f32, dlive (N, 3) f32). W[:, k, d]
+    is corner k's weight factor in dim d; the full trilinear weight is the
+    product over d. Dense levels clamp each dim's corner pair into
+    [0, res-2] with the weight shifted onto the surviving entry (exactly
+    clip-to-[0, res-1] semantics); `dlive` zeroes the analytic derivative
+    of a clamped dim."""
+    scaled = pos * scale + 0.5
+    base = jnp.floor(scaled)
+    frac = scaled - base
+    base = base.astype(jnp.int32)
+
+    bc = jnp.clip(base, 0, jnp.maximum(res - 2, 0))
+    hi = base > res - 2
+    lo = base < 0
+    w0_dense = jnp.where(hi, 0.0, jnp.where(lo, 1.0, 1.0 - frac))
+    b = jnp.where(dense, bc, base)
+    w0 = jnp.where(dense, w0_dense, 1.0 - frac)  # (N, 3) weight of corner 0
+    dlive = jnp.where(dense & (hi | lo), 0.0, 1.0)  # (N, 3)
+
+    u = b.astype(jnp.uint32)
+    idx0 = (
+        (u[:, 0] + u[:, 1] * sy.astype(jnp.uint32) + u[:, 2] * sz.astype(jnp.uint32))
+        % size.astype(jnp.uint32)
+    ).astype(jnp.int32)
+
+    corners = jnp.asarray(_CORNERS, bool)  # (8, 3)
+    W = jnp.where(corners[None], 1.0 - w0[:, None, :], w0[:, None, :])  # (N, 8, 3)
+    return idx0, W, dlive
+
+
+def _encode_oadd(table, pos, spec: HashGridSpec):
+    f = spec.n_features
+    lc = spec.level_constants()
+    oct_tables = _oct_tables(table, spec)
+    sy_a, sz_a, _ = _oct_strides(spec)
+
+    def body(_, xs):
+        oct_l, scale, res, dense, size, sy, sz = xs
+        idx0, W, _ = _oct_base_weights(pos, scale, res, dense, size, sy, sz)
+        w8 = W[..., 0] * W[..., 1] * W[..., 2]  # (N, 8)
+        feats = oct_l[idx0].astype(jnp.float32).reshape(-1, 8, f)
+        return None, jnp.einsum("nk,nkf->nf", w8, feats)
+
+    _, outs = jax.lax.scan(
+        body, None, (oct_tables, lc["scale"], lc["res"], lc["dense"], lc["size"], sy_a, sz_a)
+    )
+    return jnp.transpose(outs, (1, 0, 2)).reshape(pos.shape[0], spec.n_output_dims)
+
+
+def _bwd_oadd(table, pos, spec: HashGridSpec, g, need_pos_grad: bool = True):
+    f = spec.n_features
+    n = pos.shape[0]
+    lc = spec.level_constants()
+    g_levels = g.reshape(n, spec.n_levels, f).transpose(1, 0, 2)  # (L, N, F)
+    sy_a, sz_a, off_a = _oct_strides(spec)
+    oct_tables = _oct_tables(table, spec) if need_pos_grad else jnp.zeros((spec.n_levels, 1, 8 * f))
+
+    def body(_, xs):
+        oct_l, g_l, scale, res, dense, size, sy, sz, off = xs
+        idx0, W, dlive = _oct_base_weights(pos, scale, res, dense, size, sy, sz)
+        w8 = W[..., 0] * W[..., 1] * W[..., 2]  # (N, 8)
+        contrib = (w8[..., None] * g_l[:, None, :]).astype(jnp.bfloat16)  # (N, 8, F)
+        acc = (
+            jnp.zeros((spec.padded_size, 8 * f), jnp.bfloat16)
+            .at[idx0]
+            .add(contrib.reshape(n, 8 * f))
+        )
+        # fold the oct accumulator: table entry i received corner-k
+        # contributions at base row i - off[k] (mod T)
+        d_l = jnp.zeros((spec.padded_size, f), jnp.float32)
+        for k in range(8):
+            d_l = d_l + jnp.roll(acc[:, k * f : (k + 1) * f].astype(jnp.float32), off[k], axis=0)
+
+        if not need_pos_grad:
+            return None, (d_l.astype(table.dtype), jnp.zeros((n, 3)))
+
+        # d(out)/d(pos): analytic trilinear derivative
+        feats = oct_l[idx0].astype(jnp.float32).reshape(n, 8, f)
+        s = jnp.einsum("nkf,nf->nk", feats, g_l)  # (N, 8)
+        sign = jnp.asarray(_CORNERS, jnp.float32) * 2.0 - 1.0  # (8, 3)
+        dims = []
+        for d in range(3):
+            o1, o2 = (d + 1) % 3, (d + 2) % 3
+            prod_other = W[..., o1] * W[..., o2]  # (N, 8)
+            dims.append(dlive[:, d] * jnp.sum(sign[None, :, d] * prod_other * s, axis=1) * scale)
+        return None, (d_l.astype(table.dtype), jnp.stack(dims, axis=-1))
+
+    _, (d_table, d_pos_levels) = jax.lax.scan(
+        body,
+        None,
+        (oct_tables, g_levels, lc["scale"], lc["res"], lc["dense"], lc["size"], sy_a, sz_a, off_a),
+    )
+    return d_table, jnp.sum(d_pos_levels, axis=0)
+
+
+# --------------------------------------------------------------------------
 # public op
 # --------------------------------------------------------------------------
 
 def _hash_encode_impl(table, pos, spec: HashGridSpec):
+    if spec.variant == "oadd":
+        return _encode_oadd(table, pos, spec)
     if spec.variant == "xadd":
         return _encode_xadd(table, pos, spec)
     return _encode_tcnn(table, pos, spec)
@@ -381,6 +541,8 @@ def _hash_encode_fwd(table, pos, spec: HashGridSpec):
 
 def _hash_encode_bwd(spec: HashGridSpec, res_, g):
     table, pos = res_
+    if spec.variant == "oadd":
+        return _bwd_oadd(table, pos, spec, g)
     if spec.variant == "xadd":
         return _bwd_xadd(table, pos, spec, g)
     return _bwd_tcnn(table, pos, spec, g)
@@ -406,7 +568,9 @@ def _hash_encode_cp_fwd(table, pos, spec: HashGridSpec):
 
 def _hash_encode_cp_bwd(spec: HashGridSpec, res_, g):
     table, pos = res_
-    if spec.variant == "xadd":
+    if spec.variant == "oadd":
+        d_table, _ = _bwd_oadd(table, pos, spec, g, need_pos_grad=False)
+    elif spec.variant == "xadd":
         d_table, _ = _bwd_xadd(table, pos, spec, g, need_pos_grad=False)
     else:
         d_table, _ = _bwd_tcnn(table, pos, spec, g)

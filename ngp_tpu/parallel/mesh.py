@@ -44,7 +44,7 @@ def make_mesh(devices=None) -> Mesh:
     return Mesh(np.asarray(devices), axis_names=("data",))
 
 
-def _make_dp_step_fn(trainer: Trainer, mesh: Mesh, n_rays_global: int, capacity: int | None = None, s_pad: int = 1024):
+def _make_dp_step_fn(trainer: Trainer, mesh: Mesh, n_rays_global: int, capacity: int | None = None, s_pad: int = 1024, n_window: int = 0):
     """Per-device step body (must run inside shard_map)."""
     cfg = trainer.config
     scfg = cfg.sampler
@@ -83,6 +83,8 @@ def _make_dp_step_fn(trainer: Trainer, mesh: Mesh, n_rays_global: int, capacity:
             s_pad,
             stride_denom=n_rays_global,
             index_offset=axis * n_rays_local,
+            occ_aabb=state.grid.occ_aabb,
+            n_window=n_window,
         )
 
         if cfg.render.train_with_random_bg_color:
@@ -100,7 +102,7 @@ def _make_dp_step_fn(trainer: Trainer, mesh: Mesh, n_rays_global: int, capacity:
                 rgb_raw,
                 sigma_raw,
                 batch.layout,
-                scfg.min_cone_stepsize,
+                batch.dt_pad if batch.dt_pad is not None else scfg.min_cone_stepsize,
                 batch.ray_valid,
                 rgb_target,
                 bg_composite,
@@ -140,9 +142,9 @@ def _make_dp_step_fn(trainer: Trainer, mesh: Mesh, n_rays_global: int, capacity:
     return step_fn
 
 
-def make_dp_train_step(trainer: Trainer, mesh: Mesh, n_rays_global: int, capacity: int | None = None, s_pad: int = 1024):
+def make_dp_train_step(trainer: Trainer, mesh: Mesh, n_rays_global: int, capacity: int | None = None, s_pad: int = 1024, n_window: int = 0):
     """Single sharded train step (rays over "data", psum grads)."""
-    step_fn = _make_dp_step_fn(trainer, mesh, n_rays_global, capacity, s_pad)
+    step_fn = _make_dp_step_fn(trainer, mesh, n_rays_global, capacity, s_pad, n_window)
     rep = P()
     sharded = shard_map(
         step_fn,
@@ -154,9 +156,9 @@ def make_dp_train_step(trainer: Trainer, mesh: Mesh, n_rays_global: int, capacit
     return jax.jit(sharded, donate_argnums=(0,))
 
 
-def make_dp_train_call(trainer: Trainer, mesh: Mesh, n_rays_global: int, capacity: int, s_pad: int, n_steps: int):
+def make_dp_train_call(trainer: Trainer, mesh: Mesh, n_rays_global: int, capacity: int, s_pad: int, n_steps: int, n_window: int = 0):
     """n_steps sharded inner steps fused into one jitted lax.scan call."""
-    step_fn = _make_dp_step_fn(trainer, mesh, n_rays_global, capacity, s_pad)
+    step_fn = _make_dp_step_fn(trainer, mesh, n_rays_global, capacity, s_pad, n_window)
     rep = P()
 
     def call_fn(state, images, xforms, focal_length, shift0):

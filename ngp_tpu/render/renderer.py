@@ -1,4 +1,4 @@
-"""Novel-view renderer: fixed-shape marching rounds, zero host syncs.
+"""Novel-view renderer: span-tiled marching + budgeted slab compositing.
 
 Rebuild of the reference render path (testbed.cu:479-606 render_frame +
 occupancy_sampler.cu:451-600 ray init/advance + ray_marcher.cu:215-295
@@ -7,13 +7,18 @@ volume_rendering_kernel), reshaped for XLA:
 reference (GPU):  alive-ray compaction with atomicAdd + a host readback of
                   n_alive EVERY iteration (testbed.cu:540-541), adaptive
                   n_steps between compactions.
-here (TPU):       per ray, the occupied t-lattice samples are precompacted
-                  into a [R, K] index buffer (one vectorized pass, VPU +
-                  gathers); compositing then runs a `lax.while_loop` over
-                  fixed-size rounds of S samples — trip count is data-
-                  dependent but shapes are static, and dead rays are masked
-                  rather than compacted. Rays are processed in host-side
-                  tiles to bound memory.
+here (TPU):       per frame — (1) rays are clipped to the occupied-cell AABB
+                  on the host (zero device work: the slab spans come from
+                  the box alone) and sorted by span length into a few big
+                  homogeneous tiles; (2) per tile, ONE vectorized marching
+                  pass collects each ray's occupied lattice ordinals into a
+                  padded (R, S) buffer; (3) a single `lax.while_loop` then
+                  composites rays in fixed (A, D) sample budgets — each
+                  round device-compacts the alive rays to the front, takes
+                  the next D samples of the first A, and evaluates the
+                  network ONLY on that budget. Dead rays cost nothing after
+                  the round they die in, and the whole frame runs with zero
+                  mid-frame host syncs.
 
 Render modes (ERenderMode, common.h:73-81): Shade, Depth, Distance,
 Stepsize, AO, Cost, and Normals (via the analytic hash-encoding input
@@ -21,15 +26,14 @@ gradient, models/ngp.py input_gradient; exercised by tests/test_end_to_end.py).
 """
 
 import functools
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ngp_tpu.grid.occupancy import mip_from_pos, occupancy_lookup, static_dt_mip
 from ngp_tpu.models.ngp import NGPModel, apply_density_activation, apply_rgb_activation
-from ngp_tpu.sampling.lattice import n_lattice_points
+from ngp_tpu.sampling.lattice import count_samples, lattice_dt, lattice_t, n_lattice_points
 from ngp_tpu.utils.aabb import AABB, warp_dt
 from ngp_tpu.utils.color import srgb_to_linear
 from ngp_tpu.utils.config import NGPConfig
@@ -37,52 +41,8 @@ from ngp_tpu.utils.qmc import ld_random_pixel_offset, ld_random_val
 
 RENDER_MODES = ("AO", "Shade", "Normals", "Depth", "Distance", "Stepsize", "Cost")
 
-_CHUNK = 128  # lattice chunk for the collection scan
-_ROUND = 16  # samples per ray per compositing round
-
-
-def collect_render_samples(scfg, aabb: AABB, occupancy, o, d, startt, alive, n_lattice: int, k_cap: int):
-    """Per-ray compacted occupied lattice ordinals -> (t_idx (R,K) i32, counts).
-
-    Combines the reference's advance_pos_nerf (skip to first occupied voxel,
-    occupancy_sampler.cu:505-550) and generate_coords_from_rays (cu:552-600)
-    into one vectorized pass: entry j of row r is the lattice index of ray
-    r's j-th occupied sample.
-    """
-    dt = scfg.min_cone_stepsize
-    R = o.shape[0]
-    t_idx = jnp.full((R, k_cap), -1, jnp.int32)
-
-    def body(carry, chunk_idx):
-        taken, still, t_idx = carry
-        i = chunk_idx * _CHUNK + jnp.arange(_CHUNK, dtype=jnp.float32)
-        t = startt[:, None] + i[None, :] * dt
-        pos = o[:, None, :] + t[..., None] * d[:, None, :]
-        inside = aabb.contains(pos)
-        # reference breaks at the first point outside the box (cu:580-583)
-        reachable = still[:, None] & (jnp.cumprod(inside, axis=1) > 0)
-        mip = mip_from_pos(pos, scfg.n_cascades)
-        dt_mip = static_dt_mip(dt, scfg.grid_size, scfg.n_cascades)
-        if dt_mip >= 0:
-            mip = jnp.maximum(mip, dt_mip)
-        occ = occupancy_lookup(scfg, occupancy, pos, mip)
-        mask = reachable & occ & alive[:, None]
-        ordinal = taken[:, None] + jnp.cumsum(mask, axis=1) - mask.astype(jnp.int32)
-        mask = mask & (ordinal < k_cap)
-        dest = jnp.where(mask, ordinal, k_cap)
-        flat_dest = (jnp.arange(R, dtype=jnp.int32)[:, None] * (k_cap + 1) + dest).reshape(-1)
-        lattice_i = (chunk_idx * _CHUNK + jnp.arange(_CHUNK, dtype=jnp.int32))[None, :].repeat(R, 0)
-        padded = jnp.full((R * (k_cap + 1),), -1, jnp.int32).at[flat_dest].set(
-            jnp.where(mask, lattice_i, -1).reshape(-1), mode="drop"
-        )
-        t_idx = jnp.maximum(t_idx, padded.reshape(R, k_cap + 1)[:, :k_cap])
-        taken = taken + jnp.sum(mask, axis=1, dtype=jnp.int32)
-        return (taken, reachable[:, -1], t_idx), None
-
-    (counts, _, t_idx), _ = jax.lax.scan(
-        body, (jnp.zeros(R, jnp.int32), jnp.ones(R, bool), t_idx), jnp.arange(n_lattice // _CHUNK)
-    )
-    return t_idx, counts
+_BUDGET = 1 << 17  # network samples per compositing round (A * D)
+_D = 16  # samples per ray per round (reference marches 1..8, testbed.cu:546)
 
 
 @functools.partial(
@@ -91,7 +51,8 @@ def collect_render_samples(scfg, aabb: AABB, occupancy, o, d, startt, alive, n_l
         "model",
         "config",
         "render_mode",
-        "k_cap",
+        "n_window",
+        "n_rounds_max",
         "train_in_linear_color",
         "rgb_activation",
         "density_activation",
@@ -104,60 +65,80 @@ def render_tile(
     occupancy,
     o,  # (R, 3)
     d,  # (R, 3)
-    spp,  # () int32 — current sample index (march jitter seed)
+    k0,  # (R,) int32 first lattice index of the ray's occupied window
+    ray_id,  # (R,) int32 global pixel index (jitter stream)
+    tile_valid,  # (R,) bool — padding rows are False
+    spp,  # () uint32 — current sample index (march jitter seed)
     camera_fwd,  # (3,)
     camera_origin,  # (3,)
     depth_scale,  # () f32
     render_mode: str = "Shade",
-    k_cap: int = 1024,
+    n_window: int = 128,
+    n_rounds_max: int = 64,
     train_in_linear_color: bool = False,
     rgb_activation: str = "Logistic",
     density_activation: str = "Exponential",
     envmap=None,
 ):
-    """Render one tile of rays -> (R, 4) framebuffer contribution (premult linear)."""
+    """Render one span-tile of rays -> (R, 4) framebuffer contribution
+    (premultiplied linear)."""
     scfg = config.sampler
     aabb = AABB.scene(scfg.aabb_scale)
     dt = scfg.min_cone_stepsize
     thresh = config.render.transmittance_threshold
     R = o.shape[0]
-    n_lat = n_lattice_points(scfg)
-    k_cap = min(k_cap, n_lat)
+    A = max(min(_BUDGET // _D, R), 1)
 
     # ray init (init_rays_with_payload_kernel_nerf, cu:451-503): rendering
-    # near plane 0.05
+    # near plane 0.05, per-spp ld jitter on the march start (cu:529)
     tmin, tmax = aabb.ray_intersect(o, d)
-    t = jnp.maximum(tmin, 0.05) + 1e-6
-    alive = aabb.contains(o + d * t[:, None])
+    t0 = jnp.maximum(tmin, 0.05) + 1e-6
+    alive0 = aabb.contains(o + d * t0[:, None]) & tile_valid
+    startt = t0 + ld_random_val(spp, ray_id.astype(jnp.uint32) * jnp.uint32(786433)) * dt
 
-    # per-spp march jitter (advance_pos_nerf, cu:529)
-    i_ray = jnp.arange(R, dtype=jnp.uint32) * jnp.uint32(786433)
-    t = t + ld_random_val(jnp.uint32(spp), i_ray) * dt
+    # ONE marching pass: occupied window ordinals, padded per ray
+    counts, masks = count_samples(
+        scfg, aabb, occupancy, o, d, startt, n_window, return_masks=True, k0=k0
+    )
+    counts = jnp.where(alive0, counts, 0)
+    iota = jnp.arange(n_window, dtype=jnp.int32)[None, :]
+    keys = jnp.where(masks & alive0[:, None], iota, jnp.int32(n_window))
+    t_idx = jax.lax.sort(keys, dimension=1).reshape(-1)  # (R * S,) k0-relative
 
-    t_idx, counts = collect_render_samples(scfg, aabb, occupancy, o, d, t, alive, n_lat, k_cap)
-
-    n_rounds = k_cap // _ROUND
     dirs_w = (d + 1.0) * 0.5
 
     def round_body(state):
-        r, rgb_acc, opac, trans, processed, active = state
-        idx = jax.lax.dynamic_slice(t_idx, (0, r * _ROUND), (R, _ROUND))  # (R, S)
-        valid = (idx >= 0) & active[:, None]
-        ts = t[:, None] + idx.astype(jnp.float32) * dt
-        pos = o[:, None, :] + ts[..., None] * d[:, None, :]
+        rnd, cursor, trans, rgb_acc, opac, processed, alive = state
+        # device compaction: alive ray slots packed to the front
+        order = jnp.cumsum(alive.astype(jnp.int32)) - 1
+        sel = jnp.zeros((R,), jnp.int32).at[jnp.where(alive, order, R)].set(
+            jnp.arange(R, dtype=jnp.int32), mode="drop"
+        )[:A]
+        n_alive = jnp.sum(alive, dtype=jnp.int32)
+        slot = jnp.arange(A, dtype=jnp.int32) < n_alive  # (A,)
+
+        cur = cursor[sel]  # (A,)
+        j = jnp.arange(_D, dtype=jnp.int32)[None, :]
+        flat = sel[:, None] * n_window + jnp.minimum(cur[:, None] + j, n_window - 1)
+        lat = t_idx[flat.reshape(-1)].reshape(A, _D)  # (A, D) window ordinal
+        valid = slot[:, None] & ((cur[:, None] + j) < counts[sel][:, None]) & (lat < n_window)
+
+        ts = lattice_t(scfg, startt[sel][:, None], k0[sel][:, None] + lat)
+        dts = lattice_dt(scfg, ts)  # (A, D); == dt when cone angle is 0
+        pos = o[sel][:, None, :] + ts[..., None] * d[sel][:, None, :]  # (A, D, 3)
         pos_w = aabb.relative_pos(pos).reshape(-1, 3)
-        dir_w = jnp.broadcast_to(dirs_w[:, None, :], (R, _ROUND, 3)).reshape(-1, 3)
+        dir_w = jnp.broadcast_to(dirs_w[sel][:, None, :], (A, _D, 3)).reshape(-1, 3)
 
         rgb_raw, sigma_raw = model.rgbsigma_raw(params, pos_w, dir_w)
-        sigma = apply_density_activation(sigma_raw, density_activation).reshape(R, _ROUND)
-        rgb = apply_rgb_activation(rgb_raw, rgb_activation).reshape(R, _ROUND, 3)
+        sigma = apply_density_activation(sigma_raw, density_activation).reshape(A, _D)
+        rgb = apply_rgb_activation(rgb_raw, rgb_activation).reshape(A, _D, 3)
 
         if render_mode == "Normals":
             # d(sigma)/d(pos): the normal points down the density gradient
             # (volume_rendering_kernel cu:260-265)
             grad_pos = model.input_gradient(params, pos_w, density_activation)
-            n = -grad_pos / jnp.maximum(jnp.linalg.norm(grad_pos, axis=-1, keepdims=True), 1e-12)
-            rgb = n.reshape(R, _ROUND, 3)
+            nrm = -grad_pos / jnp.maximum(jnp.linalg.norm(grad_pos, axis=-1, keepdims=True), 1e-12)
+            rgb = nrm.reshape(A, _D, 3)
         elif render_mode == "Depth":
             z = jnp.einsum("rsc,c->rs", pos - camera_origin, camera_fwd) * depth_scale
             rgb = jnp.repeat(z[..., None], 3, axis=-1)
@@ -165,42 +146,52 @@ def render_tile(
             z = jnp.linalg.norm(pos - camera_origin, axis=-1) * depth_scale
             rgb = jnp.repeat(z[..., None], 3, axis=-1)
         elif render_mode == "Stepsize":
-            wdt = warp_dt(dt, dt, scfg.n_cascades)
-            rgb = jnp.full_like(rgb, wdt)
-        elif render_mode == "Cost":
-            pass  # handled at shade time from `processed`
+            rgb = jnp.broadcast_to(
+                warp_dt(dts, dt, scfg.n_cascades)[..., None], rgb.shape
+            ) * jnp.ones_like(rgb)
 
-        sdt = jnp.where(valid, sigma * dt, 0.0)
+        sdt = jnp.where(valid, sigma * dts, 0.0)
         alpha = 1.0 - jnp.exp(-sdt)
         if render_mode == "AO":
             rgb = jnp.repeat(alpha[..., None], 3, axis=-1)
 
+        # composite the round's D samples (early-stop semantics: a sample is
+        # included iff transmittance BEFORE it >= threshold, cu:72)
         acc_before = jnp.cumsum(sdt, axis=1) - sdt
-        t_before = trans[:, None] * jnp.exp(-acc_before)
+        t_before = trans[sel][:, None] * jnp.exp(-acc_before)
         include = valid & (t_before >= thresh)
         w = jnp.where(include, alpha * t_before, 0.0)
 
-        rgb_acc = rgb_acc + jnp.sum(w[..., None] * rgb, axis=1)
-        opac = opac + jnp.sum(w, axis=1)
-        trans = trans * jnp.exp(-jnp.sum(jnp.where(include, sdt, 0.0), axis=1))
-        processed = processed + jnp.sum(include, axis=1)
+        add_rgb = jnp.sum(w[..., None] * rgb, axis=1)
+        add_opac = jnp.sum(w, axis=1)
+        new_trans_sel = trans[sel] * jnp.exp(-jnp.sum(jnp.where(include, sdt, 0.0), axis=1))
+        add_proc = jnp.sum(include, axis=1)
 
-        active = active & (trans >= thresh) & (counts > (r + 1) * _ROUND)
-        return r + 1, rgb_acc, opac, trans, processed, active
+        guard = jnp.where(slot, sel, R)  # padding slots dropped
+        rgb_acc = rgb_acc.at[guard].add(jnp.where(slot[:, None], add_rgb, 0.0), mode="drop")
+        opac = opac.at[guard].add(jnp.where(slot, add_opac, 0.0), mode="drop")
+        processed = processed.at[guard].add(jnp.where(slot, add_proc, 0), mode="drop")
+        trans = trans.at[guard].set(jnp.where(slot, new_trans_sel, 1.0), mode="drop")
+        cursor = cursor.at[guard].add(jnp.where(slot, _D, 0), mode="drop")
+
+        done = slot & ((new_trans_sel < thresh) | (cur + _D >= counts[sel]))
+        alive = alive.at[jnp.where(done, sel, R)].set(False, mode="drop")
+        return rnd + 1, cursor, trans, rgb_acc, opac, processed, alive
 
     def round_cond(state):
-        r, *_, active = state
-        return (r < n_rounds) & jnp.any(active)
+        rnd, *_, alive = state
+        return (rnd < n_rounds_max) & jnp.any(alive)
 
     init = (
         jnp.int32(0),
+        jnp.zeros((R,), jnp.int32),  # cursor
+        jnp.ones((R,), jnp.float32),  # transmittance
         jnp.zeros((R, 3), jnp.float32),
-        jnp.zeros((R,), jnp.float32),
-        jnp.ones((R,), jnp.float32),
-        jnp.zeros((R,), jnp.int32),
-        alive & (counts > 0),
+        jnp.zeros((R,), jnp.float32),  # opacity
+        jnp.zeros((R,), jnp.int32),  # processed (Cost mode)
+        counts > 0,
     )
-    _, rgb_acc, opac, trans, processed, _ = jax.lax.while_loop(round_cond, round_body, init)
+    _, _, trans, rgb_acc, opac, processed, _ = jax.lax.while_loop(round_cond, round_body, init)
 
     # shade_kernel (testbed.cu:448-477)
     hit = opac > 0.001
@@ -227,66 +218,62 @@ def render_tile(
     return out
 
 
-@functools.partial(jax.jit, static_argnames=("config",))
-def count_render_samples(config: NGPConfig, occupancy, o, d, spp):
-    """Per-ray occupied-sample counts (+ jittered start t), whole frame."""
-    scfg = config.sampler
-    aabb = AABB.scene(scfg.aabb_scale)
-    dt = scfg.min_cone_stepsize
-    R = o.shape[0]
-    n_lat = n_lattice_points(scfg)
-
-    tmin, tmax = aabb.ray_intersect(o, d)
-    t = jnp.maximum(tmin, 0.05) + 1e-6
-    alive = aabb.contains(o + d * t[:, None])
-    i_ray = jnp.arange(R, dtype=jnp.uint32) * jnp.uint32(786433)
-    t = t + ld_random_val(jnp.uint32(spp), i_ray) * dt
-
-    def body(carry, chunk_idx):
-        taken, still = carry
-        i = chunk_idx * _CHUNK + jnp.arange(_CHUNK, dtype=jnp.float32)
-        ts = t[:, None] + i[None, :] * dt
-        pos = o[:, None, :] + ts[..., None] * d[:, None, :]
-        inside = aabb.contains(pos)
-        reachable = still[:, None] & (jnp.cumprod(inside, axis=1) > 0)
-        mip = mip_from_pos(pos, scfg.n_cascades)
-        dt_mip = static_dt_mip(dt, scfg.grid_size, scfg.n_cascades)
-        if dt_mip >= 0:
-            mip = jnp.maximum(mip, dt_mip)
-        occ = occupancy_lookup(scfg, occupancy, pos, mip)
-        mask = reachable & occ & alive[:, None]
-        return (taken + jnp.sum(mask, axis=1, dtype=jnp.int32), reachable[:, -1]), None
-
-    (counts, _), _ = jax.lax.scan(
-        body, (jnp.zeros(R, jnp.int32), jnp.ones(R, bool)), jnp.arange(n_lat // _CHUNK)
-    )
-    return counts, t
+def _pow2(n: int, lo: int, hi: int) -> int:
+    return int(min(hi, max(lo, 1 << int(np.ceil(np.log2(max(n, 1)))))))
 
 
 @dataclass
 class Renderer:
-    """Host-side tiler + spp accumulation driving render_tile.
+    """Host-side frame assembly driving render_tile.
 
-    Strategy (replaces the reference's per-iteration alive-ray compaction
-    with its host sync every round, testbed.cu:524-549): one cheap count
-    pass over the whole frame, ONE device->host sync for the per-ray counts,
-    then rays sorted by count and rendered in fixed tiles — empty tiles are
-    skipped outright and each tile's sample depth (k_cap) adapts to its own
-    maximum, so the while_loop rounds never run past the tile's real work.
+    Per frame: build rays (numpy), slab-test them against the occupied-cell
+    AABB (host — the box is cached per occupancy array), drop rays that miss
+    it outright, sort the rest by span length and render them in big
+    homogeneous tiles whose marching window covers the tile's longest span.
+    The only per-frame device->host transfer is the framebuffer itself.
     """
 
     model: NGPModel
     config: NGPConfig
-    tile_size: int = 1 << 12
-    k_cap: int = 1024
+    tile_size: int = 1 << 16
     train_in_linear_color: bool = False
     rgb_activation: str = "Logistic"
     density_activation: str = "Exponential"
+    _box_cache: dict = field(default_factory=dict)
 
-    def render_frame(self, params, occupancy, camera_matrix, resolution, focal_length, principal_point, spp, render_mode="Shade", scene_scale=1.0, envmap=None):
+    def _occ_box(self, occupancy, occ_aabb):
+        if occ_aabb is not None:
+            return np.asarray(occ_aabb)
+        key = id(occupancy)
+        if self._box_cache.get("key") != key:
+            from ngp_tpu.grid.occupancy import occupied_aabb
+
+            self._box_cache = {
+                "key": key,
+                "box": np.asarray(occupied_aabb(self.config.sampler, occupancy)),
+            }
+        return self._box_cache["box"]
+
+    def render_frame(
+        self,
+        params,
+        occupancy,
+        camera_matrix,
+        resolution,
+        focal_length,
+        principal_point,
+        spp,
+        render_mode="Shade",
+        scene_scale=1.0,
+        envmap=None,
+        occ_aabb=None,
+    ):
         """One frame at one spp index -> (H, W, 4) premultiplied linear."""
         w, h = resolution
-        snap = self.config.sampler.snap_to_pixel_centers_in_rendering
+        scfg = self.config.sampler
+        dt = scfg.min_cone_stepsize
+        n_lat = n_lattice_points(scfg)
+        snap = scfg.snap_to_pixel_centers_in_rendering
         off = np.asarray(ld_random_pixel_offset(0 if snap else int(spp)))
         xs = (np.arange(w, dtype=np.float32) + off[0]) / w
         ys = (np.arange(h, dtype=np.float32) + off[1]) / h
@@ -304,43 +291,87 @@ class Renderer:
         d = d_cam @ cam[:, :3].T
         d /= np.linalg.norm(d, axis=-1, keepdims=True)
         o = np.broadcast_to(cam[:, 3], d.shape).copy()
-
         n_rays = o.shape[0]
-        counts, _ = count_render_samples(self.config, occupancy, jnp.asarray(o), jnp.asarray(d), jnp.uint32(spp))
-        counts = np.asarray(counts)  # the frame's single D->H sync
-        order = np.argsort(-counts, kind="stable")
 
-        tile = min(self.tile_size, 1 << int(np.ceil(np.log2(max(n_rays, 1)))))
+        dd = np.where(np.abs(d) < 1e-12, 1e-12, d)
+        if scfg.cone_angle_constant != 0.0:
+            # the window-start inversion assumes the arithmetic lattice; the
+            # cone lattice is geometric (and much shorter), so march all of
+            # it — culling only rays that miss the occupied box entirely
+            box = self._occ_box(occupancy, occ_aabb)
+            t1 = (box[0] - o) / dd
+            t2 = (box[1] - o) / dd
+            hit = np.min(np.maximum(t1, t2), axis=-1) >= np.maximum(
+                np.max(np.minimum(t1, t2), axis=-1), 0.05
+            )
+            k0 = np.zeros((n_rays,), np.int32)
+            span = np.full((n_rays,), n_lat, np.float32)
+        else:
+            # host slab test against the occupied box: span + window start
+            box = self._occ_box(occupancy, occ_aabb)
+            t1 = (box[0] - o) / dd
+            t2 = (box[1] - o) / dd
+            occ_lo = np.max(np.minimum(t1, t2), axis=-1)
+            occ_hi = np.min(np.maximum(t1, t2), axis=-1)
+            # the scene-box entry t is recomputed on device with the jitter;
+            # the host k0 keeps one lattice step of slack
+            sb = AABB.scene(scfg.aabb_scale)
+            s_lo = np.maximum(np.max(np.minimum((sb.lo - o) / dd, (sb.hi - o) / dd), axis=-1), 0.05)
+            k0 = np.maximum(np.floor((occ_lo - s_lo) / dt) - 1, 0).astype(np.int32)
+            span = np.minimum(np.ceil((occ_hi - np.maximum(occ_lo, s_lo)) / dt) + 3, n_lat - k0)
+            hit = (occ_hi >= np.maximum(occ_lo, s_lo)) & (span > 0)
+            k0 = np.minimum(k0, n_lat)
+
         out = np.zeros((n_rays, 4), np.float32)
         env_only = envmap is not None
-        for s in range(0, n_rays, tile):
-            sel = order[s : s + tile]
-            tile_max = int(counts[sel].max()) if sel.size else 0
-            if tile_max == 0 and not env_only:
-                continue  # nothing to march; framebuffer stays zero
-            o_t = np.zeros((tile, 3), np.float32)
-            d_t = np.ones((tile, 3), np.float32)
-            o_t[: sel.size] = o[sel]
-            d_t[: sel.size] = d[sel]
-            # per-tile adaptive sample depth, pow2-quantized for jit caching
-            k_cap = min(self.k_cap, max(32, 1 << int(np.ceil(np.log2(max(tile_max, 1))))))
-            res = render_tile(
-                self.model,
-                self.config,
-                params,
-                occupancy,
-                jnp.asarray(o_t),
-                jnp.asarray(d_t),
-                jnp.uint32(spp),
-                jnp.asarray(cam[:, 2]),
-                jnp.asarray(cam[:, 3]),
-                jnp.float32(1.0 / scene_scale),
-                render_mode=render_mode,
-                k_cap=k_cap,
-                train_in_linear_color=self.train_in_linear_color,
-                rgb_activation=self.rgb_activation,
-                density_activation=self.density_activation,
-                envmap=envmap,
-            )
-            out[sel] = np.asarray(res)[: sel.size]
+        ids_hit = np.nonzero(hit)[0]
+        if env_only and ids_hit.size < n_rays:
+            # misses still show the environment: blend on host via one call
+            miss = np.nonzero(~hit)[0]
+            from ngp_tpu.render.envmap import read_envmap
+
+            out[miss] = np.asarray(read_envmap(envmap, jnp.asarray(d[miss])))
+
+        if ids_hit.size:
+            order = ids_hit[np.argsort(span[ids_hit], kind="stable")]
+            tile = min(self.tile_size, _pow2(order.size, 256, self.tile_size))
+            for s in range(0, order.size, tile):
+                sel = order[s : s + tile]
+                w_tile = int(span[sel].max())
+                n_window = min(_pow2(-(-w_tile // 128) * 128, 128, n_lat), n_lat)
+                n_window = -(-n_window // 128) * 128
+                o_t = np.zeros((tile, 3), np.float32)
+                d_t = np.ones((tile, 3), np.float32)
+                k_t = np.zeros((tile,), np.int32)
+                id_t = np.zeros((tile,), np.int32)
+                v_t = np.zeros((tile,), bool)
+                o_t[: sel.size] = o[sel]
+                d_t[: sel.size] = d[sel]
+                k_t[: sel.size] = k0[sel]
+                id_t[: sel.size] = sel
+                v_t[: sel.size] = True
+                rounds_max = int(np.ceil(tile * n_window / (_BUDGET))) + tile // (_BUDGET // _D) + 4
+                res = render_tile(
+                    self.model,
+                    self.config,
+                    params,
+                    occupancy,
+                    jnp.asarray(o_t),
+                    jnp.asarray(d_t),
+                    jnp.asarray(k_t),
+                    jnp.asarray(id_t),
+                    jnp.asarray(v_t),
+                    jnp.uint32(spp),
+                    jnp.asarray(cam[:, 2]),
+                    jnp.asarray(cam[:, 3]),
+                    jnp.float32(1.0 / scene_scale),
+                    render_mode=render_mode,
+                    n_window=n_window,
+                    n_rounds_max=rounds_max,
+                    train_in_linear_color=self.train_in_linear_color,
+                    rgb_activation=self.rgb_activation,
+                    density_activation=self.density_activation,
+                    envmap=envmap,
+                )
+                out[sel] = np.asarray(res)[: sel.size]
         return jnp.asarray(out.reshape(h, w, 4))

@@ -26,8 +26,9 @@ peak extra memory at [n_rays, chunk, 3]. The only full-width product is the
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
-from ngp_tpu.grid.occupancy import mip_from_pos, occupancy_lookup, static_dt_mip
+from ngp_tpu.grid.occupancy import mip_from_dt, mip_from_pos, occupancy_lookup, static_dt_mip
 from ngp_tpu.utils.aabb import AABB, warp_dt
 from ngp_tpu.utils.config import SamplerConfig
 
@@ -35,43 +36,123 @@ _CHUNK = 128
 
 
 def assert_supported(cfg: SamplerConfig):
-    if cfg.cone_angle_constant != 0.0:
-        raise NotImplementedError(
-            "cone_angle_constant > 0 (geometric stepping) is not implemented; "
-            "every shipped reference config uses 0 (base.json:7)."
-        )
+    """All shipped stepping modes are supported (c = 0 and c > 0)."""
 
 
 def n_lattice_points(cfg: SamplerConfig) -> int:
-    """Static lattice length: enough steps to cross the scene AABB diagonal."""
+    """Static lattice length: enough steps to cross the scene AABB diagonal.
+
+    For cone_angle_constant c > 0 the lattice is arithmetic(m) →
+    geometric(1+c) → arithmetic(M) (calc_dt, occupancy_sampler.cu:207-214),
+    so far fewer steps cover the diagonal; the bound below is the worst case
+    over any start t >= 0.
+    """
     import math
 
     diag = math.sqrt(3.0) * cfg.aabb_scale
-    n = int(math.ceil(diag / cfg.min_cone_stepsize)) + 1
+    m = cfg.min_cone_stepsize
+    c = cfg.cone_angle_constant
+    if c == 0.0:
+        n = int(math.ceil(diag / m)) + 1
+    else:
+        M = cfg.max_cone_stepsize
+        n_a = int(math.ceil(1.0 / c)) + 1  # region A worst case (t0 = 0)
+        n_b = int(math.ceil(math.log(max(M / m, 1.0)) / math.log1p(c))) + 1
+        n_c = int(math.ceil(diag / M)) + 1
+        n = n_a + n_b + n_c
     return -(-n // _CHUNK) * _CHUNK  # round up to a whole number of chunks
 
 
-def _chunk_mask(cfg: SamplerConfig, aabb: AABB, occupancy, o, d, startt, chunk_start, taken_so_far, still_inside):
+def lattice_t(cfg: SamplerConfig, startt, idx):
+    """t of lattice index `idx` for a march starting at `startt` (broadcast).
+
+    c = 0: t = startt + idx*m. c > 0: closed form of the reference's
+    per-step recurrence t' = t + clamp(c*t, m, M) (calc_dt, cu:207-214):
+    arithmetic at m while c*t < m, geometric ratio (1+c) while m <= c*t < M,
+    then arithmetic at M.
+    """
+    m = cfg.min_cone_stepsize
+    c = cfg.cone_angle_constant
+    i = idx.astype(jnp.float32) if hasattr(idx, "astype") else jnp.asarray(idx, jnp.float32)
+    if c == 0.0:
+        return startt + i * m
+    M = cfg.max_cone_stepsize
+    t0 = jnp.asarray(startt, jnp.float32)
+    iA = jnp.ceil(jnp.maximum(m / c - t0, 0.0) / m)
+    tA = t0 + iA * m
+    log1pc = float(np.log1p(c))
+    nB = jnp.ceil(jnp.log(jnp.maximum(M / (c * jnp.maximum(tA, 1e-30)), 1.0)) / log1pc)
+    tC = tA * jnp.exp(nB * log1pc)
+    iC = iA + nB
+    t_a = t0 + i * m
+    t_b = tA * jnp.exp((i - iA) * log1pc)
+    t_c = tC + (i - iC) * M
+    return jnp.where(i <= iA, t_a, jnp.where(i <= iC, t_b, t_c))
+
+
+def lattice_dt(cfg: SamplerConfig, t):
+    """Step size at t: clamp(c*t, m, M) for c > 0, else the constant m."""
+    c = cfg.cone_angle_constant
+    if c == 0.0:
+        return jnp.full_like(t, cfg.min_cone_stepsize)
+    return jnp.clip(c * t, cfg.min_cone_stepsize, cfg.max_cone_stepsize)
+
+
+def ray_box_span(box, o, d):
+    """Slab test of rays against a TRACED box (2, 3) -> (tmin, tmax) per ray.
+
+    Misses have tmax < tmin. Zero direction components are nudged so the
+    0/0 case can't produce NaNs (the huge finite ts behave like the exact
+    ±inf slabs)."""
+    dd = jnp.where(jnp.abs(d) < 1e-12, 1e-12, d)
+    t1 = (box[0] - o) / dd
+    t2 = (box[1] - o) / dd
+    return jnp.max(jnp.minimum(t1, t2), axis=-1), jnp.min(jnp.maximum(t1, t2), axis=-1)
+
+
+def occupied_window_start(occ_aabb, o, d, startt, dt: float, n_lattice: int):
+    """Per-ray first lattice index whose t can possibly be occupied.
+
+    Skipping to it is EXACT: every earlier lattice point is outside the
+    occupied-cell AABB, where occupancy is false by construction, and the
+    skipped prefix lies inside the (convex) scene box whenever any later
+    point does, so the reference's break-on-exit semantics are unaffected.
+    """
+    t_lo, t_hi = ray_box_span(occ_aabb, o, d)
+    k0 = jnp.floor((t_lo - startt) / dt).astype(jnp.int32)
+    miss = t_hi < jnp.maximum(t_lo, startt)
+    return jnp.clip(jnp.where(miss, n_lattice, k0), 0, n_lattice)
+
+
+def _chunk_mask(cfg: SamplerConfig, aabb: AABB, occupancy, o, d, startt, chunk_start, taken_so_far, still_inside, k0=None):
     """Occupied-sample mask for lattice points [chunk_start, chunk_start+_CHUNK).
 
     Returns (mask (R, CHUNK), t, ordinal, still_inside'). The reference's
     march loop BREAKS at the first lattice point outside the AABB
     (occupancy_sampler.cu:397) — `still_inside` carries that prefix property
     across chunks. `taken_so_far` caps occupied samples per ray at
-    n_max_steps (the `j < n_max_steps` bound).
+    n_max_steps (the `j < n_max_steps` bound). `k0` shifts each ray's lattice
+    window to its occupied-AABB entry (occupied_window_start).
     """
     dt = cfg.min_cone_stepsize
     i = chunk_start + jnp.arange(_CHUNK, dtype=jnp.float32)
-    t = startt[:, None] + i[None, :] * dt  # (R, CHUNK)
+    if k0 is not None:
+        i = k0.astype(jnp.float32)[:, None] + i[None, :]
+    else:
+        i = jnp.broadcast_to(i[None, :], (o.shape[0], _CHUNK))
+    t = lattice_t(cfg, startt[:, None], i)  # (R, CHUNK)
     pos = o[:, None, :] + t[..., None] * d[:, None, :]  # (R, CHUNK, 3)
     inside = aabb.contains(pos)
     # prefix-AND: a point is reachable only if every earlier point was inside
     reachable = still_inside[:, None] & (jnp.cumprod(inside, axis=1) > 0)
-    # dt is config-static, so its mip floor is too (cu:223-230)
-    mip = mip_from_pos(pos, cfg.n_cascades)
-    dt_mip = static_dt_mip(dt, cfg.grid_size, cfg.n_cascades)
-    if dt_mip >= 0:
-        mip = jnp.maximum(mip, dt_mip)
+    if cfg.cone_angle_constant == 0.0:
+        # dt is config-static, so its mip floor is too (cu:223-230)
+        mip = mip_from_pos(pos, cfg.n_cascades)
+        dt_mip = static_dt_mip(dt, cfg.grid_size, cfg.n_cascades)
+        if dt_mip >= 0:
+            mip = jnp.maximum(mip, dt_mip)
+    else:
+        mip = mip_from_dt(lattice_dt(cfg, t), pos, cfg.grid_size, cfg.n_cascades)
     occ = occupancy_lookup(cfg, occupancy, pos, mip)
     mask = reachable & occ
     # enforce the per-ray sample cap (the reference's `j < n_max_steps`)
@@ -80,24 +161,28 @@ def _chunk_mask(cfg: SamplerConfig, aabb: AABB, occupancy, o, d, startt, chunk_s
     return mask, t, ordinal, reachable[:, -1]
 
 
-def count_samples(cfg: SamplerConfig, aabb: AABB, occupancy, o, d, startt, n_lattice: int, return_masks: bool = False):
+def count_samples(cfg: SamplerConfig, aabb: AABB, occupancy, o, d, startt, n_window: int, return_masks: bool = False, k0=None):
     """Pass 1: per-ray occupied-sample counts (R,) int32.
 
     Mirrors the reference's first marching pass (occupancy_sampler.cu:389-407).
-    With return_masks=True also returns the (R, n_lattice) occupied mask so
+    With return_masks=True also returns the (R, n_window) occupied mask so
     pass 2 can skip re-doing the occupancy gathers (1 byte/lattice point).
+    `k0` (R,) shifts each ray's window start — mask column j then refers to
+    lattice index k0 + j. `n_window` must cover the longest possible occupied
+    span (the occupied-AABB diagonal in lattice steps when k0 is used, else
+    the full lattice).
     """
 
     def body(carry, chunk_idx):
         taken, still = carry
-        mask, _, _, still = _chunk_mask(cfg, aabb, occupancy, o, d, startt, chunk_idx * _CHUNK, taken, still)
+        mask, _, _, still = _chunk_mask(cfg, aabb, occupancy, o, d, startt, chunk_idx * _CHUNK, taken, still, k0=k0)
         return (taken + jnp.sum(mask, axis=1, dtype=jnp.int32), still), (mask if return_masks else None)
 
     R = o.shape[0]
     (taken, _), masks = jax.lax.scan(
-        body, (jnp.zeros(R, jnp.int32), jnp.ones(R, bool)), jnp.arange(n_lattice // _CHUNK)
+        body, (jnp.zeros(R, jnp.int32), jnp.ones(R, bool)), jnp.arange(n_window // _CHUNK)
     )
     if return_masks:
-        # (n_chunks, R, CHUNK) -> (R, n_lattice)
-        return taken, jnp.transpose(masks, (1, 0, 2)).reshape(R, n_lattice)
+        # (n_chunks, R, CHUNK) -> (R, n_window)
+        return taken, jnp.transpose(masks, (1, 0, 2)).reshape(R, n_window)
     return taken

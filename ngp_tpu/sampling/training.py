@@ -30,7 +30,7 @@ import jax.numpy as jnp
 
 from ngp_tpu.data.nerf_synthetic import read_rgba
 from ngp_tpu.ops.layout import SampleLayout, build_layout
-from ngp_tpu.sampling.lattice import count_samples
+from ngp_tpu.sampling.lattice import count_samples, lattice_dt, lattice_t, occupied_window_start
 from ngp_tpu.utils.aabb import AABB
 from ngp_tpu.utils.config import SamplerConfig
 
@@ -45,6 +45,9 @@ class TrainingBatch(NamedTuple):
     # flat samples (capacity C), network inputs
     pos: jnp.ndarray  # (C, 3) warped
     dirs: jnp.ndarray  # (C, 3) warped
+    # per-sample step sizes in padded (R, S) layout; None when the constant
+    # min_cone_stepsize applies everywhere (cone_angle_constant == 0)
+    dt_pad: jnp.ndarray | None
     # telemetry
     n_samples: jnp.ndarray  # () int32 — generated samples before drops
     max_ray_count: jnp.ndarray  # () int32 — longest ray this step (S controller)
@@ -66,14 +69,22 @@ def generate_training_batch(
     s_pad: int,
     stride_denom: int = 0,
     index_offset=0,
+    occ_aabb=None,
+    n_window: int = 0,
 ) -> TrainingBatch:
     """`stride_denom`/`index_offset` let a data-parallel shard generate its
     slice [index_offset, index_offset + n_rays) of a `stride_denom`-ray
-    global batch while keeping the reference's image-pick formula global."""
+    global batch while keeping the reference's image-pick formula global.
+
+    `occ_aabb` (2, 3) + static `n_window` clip each ray's lattice march to
+    its entry into the occupied-cell AABB (exact empty-space skip; the
+    window must cover the box diagonal in lattice steps — the TrainingLoop
+    sizes it from the box each train() call)."""
     n_images, h, w = images.shape[0], images.shape[1], images.shape[2]
     k_pixel, k_jitter = jax.random.split(key)
     denom = stride_denom or n_rays
-    s_pad = min(s_pad, n_lattice)  # counts can never exceed the lattice
+    n_window = min(n_window or n_lattice, n_lattice)
+    s_pad = min(s_pad, n_window)  # counts can never exceed the window
 
     # image pick: uint32 stride arithmetic, parity with cu:348
     i = jnp.arange(n_rays, dtype=jnp.uint32) + jnp.uint32(index_offset)
@@ -102,10 +113,18 @@ def generate_training_batch(
     tmin, tmax = aabb.ray_intersect(o, d)
     tmin = jnp.maximum(tmin, cfg.near_distance)
     dt = cfg.min_cone_stepsize
-    startt = tmin + dt * jax.random.uniform(k_jitter, (n_rays,))
+    # march-start jitter by a fraction of the LOCAL step (cu:385)
+    startt = tmin + lattice_dt(cfg, tmin) * jax.random.uniform(k_jitter, (n_rays,))
     hits = tmin < tmax
 
-    counts, masks = count_samples(cfg, aabb, occupancy, o, d, startt, n_lattice, return_masks=True)
+    if occ_aabb is not None and cfg.cone_angle_constant == 0.0:
+        k0 = occupied_window_start(occ_aabb, o, d, startt, dt, n_lattice)
+    else:
+        # the window-start inversion assumes the arithmetic lattice; c > 0
+        # marches the full (much shorter) cone lattice instead
+        n_window = n_lattice
+        k0 = jnp.zeros((n_rays,), jnp.int32)
+    counts, masks = count_samples(cfg, aabb, occupancy, o, d, startt, n_window, return_masks=True, k0=k0)
     masks = masks & hits[:, None]
     counts = jnp.where(hits, counts, 0)
     n_samples = jnp.sum(counts)
@@ -120,18 +139,23 @@ def generate_training_batch(
     ray_valid = ray_valid & (base + counts_res <= capacity)
     layout = build_layout(base, counts, ray_valid, capacity, s_pad)
 
-    # per-ray compaction: occupied lattice indices are increasing, so a row
-    # sort of where(mask, i, n_lattice) left-justifies them in march order
-    lat_iota = jnp.arange(n_lattice, dtype=jnp.int32)[None, :]
-    keys = jnp.where(masks & ray_valid[:, None], lat_iota, jnp.int32(n_lattice))
-    lat_pad = jax.lax.sort(keys, dimension=1)[:, :s_pad]  # (R, S)
+    # per-ray compaction: occupied window indices are increasing, so a row
+    # sort of where(mask, j, n_window) left-justifies them in march order
+    lat_iota = jnp.arange(n_window, dtype=jnp.int32)[None, :]
+    keys = jnp.where(masks & ray_valid[:, None], lat_iota, jnp.int32(n_window))
+    lat_pad = jax.lax.sort(keys, dimension=1)[:, :s_pad]  # (R, S), k0-relative
 
-    # flat network inputs, all closed-form from the lattice index
+    # flat network inputs, all closed-form from the lattice index k0 + j
     rid = layout.ray_ids
-    flat_lat = jnp.where(layout.flat_valid, lat_pad[rid, layout.pos_in_ray], 0)
-    flat_t = startt[rid] + flat_lat.astype(jnp.float32) * dt
+    flat_lat = jnp.where(layout.flat_valid, k0[rid] + lat_pad[rid, layout.pos_in_ray], 0)
+    flat_t = lattice_t(cfg, startt[rid], flat_lat)
     flat_pos = o[rid] + flat_t[:, None] * d[rid]
     flat_dirs = (d[rid] + 1.0) * 0.5
+
+    dt_pad = None
+    if cfg.cone_angle_constant != 0.0:
+        t_pad = lattice_t(cfg, startt[:, None], k0[:, None] + lat_pad)
+        dt_pad = lattice_dt(cfg, t_pad)  # (R, S)
 
     rgba = read_rgba(images, xy, img)
     return TrainingBatch(
@@ -142,6 +166,7 @@ def generate_training_batch(
         layout=layout,
         pos=aabb.relative_pos(flat_pos),
         dirs=flat_dirs,
+        dt_pad=dt_pad,
         n_samples=n_samples,
         max_ray_count=max_ray_count,
     )

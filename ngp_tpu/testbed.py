@@ -230,6 +230,7 @@ class Testbed:
             render_mode=rb.render_mode,
             scene_scale=self.scene_scale,
             envmap=self._state.envmap.ema_params if self._state.envmap is not None else None,
+            occ_aabb=self._state.grid.occ_aabb,
         )
         if self._accum is None or self._accum.shape[:2] != (height, width) or self._spp == 0:
             self._accum = jnp.zeros((height, width, 4), jnp.float32)

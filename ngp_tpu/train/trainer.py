@@ -128,7 +128,7 @@ class Trainer:
         )
 
     # ----------------------------------------------------------- train step
-    def _train_step_fn(self, n_rays: int, capacity: int, s_pad: int):
+    def _train_step_fn(self, n_rays: int, capacity: int, s_pad: int, n_window: int = 0):
         cfg = self.config
         scfg = cfg.sampler
         model = self.model
@@ -152,6 +152,8 @@ class Trainer:
                 capacity,
                 n_lattice,
                 s_pad,
+                occ_aabb=state.grid.occ_aabb,
+                n_window=n_window,
             )
 
             # background: one random sRGB color per step when enabled
@@ -182,7 +184,7 @@ class Trainer:
                     rgb_raw,
                     sigma_raw,
                     batch.layout,
-                    scfg.min_cone_stepsize,
+                    batch.dt_pad if batch.dt_pad is not None else scfg.min_cone_stepsize,
                     batch.ray_valid,
                     rgb_target,
                     bg_composite,
@@ -248,19 +250,19 @@ class Trainer:
             self.density_activation,
         )
 
-    def train_call(self, n_rays: int, capacity: int, s_pad: int, n_steps: int):
+    def train_call(self, n_rays: int, capacity: int, s_pad: int, n_steps: int, n_window: int = 0):
         """One jitted call running `n_steps` inner steps via lax.scan —
         collapses per-step host dispatches (expensive through a remote
         device tunnel) into one. Mirrors the reference's 16-step train()
         granularity (testbed.cu:255-263)."""
-        key = ("call", n_rays, capacity, s_pad, n_steps, self._semantic_key())
+        key = ("call", n_rays, capacity, s_pad, n_steps, n_window, self._semantic_key())
         if key not in self._cache:
             if self.mesh is not None and self.mesh.devices.size > 1:
                 from ngp_tpu.parallel.mesh import make_dp_train_call
 
-                self._cache[key] = make_dp_train_call(self, self.mesh, n_rays, capacity, s_pad, n_steps)
+                self._cache[key] = make_dp_train_call(self, self.mesh, n_rays, capacity, s_pad, n_steps, n_window=n_window)
             else:
-                step_fn = self._train_step_fn(n_rays, capacity, s_pad)
+                step_fn = self._train_step_fn(n_rays, capacity, s_pad, n_window)
 
                 def call_fn(state, images, xforms, focal_length, shift0):
                     def body(st, i):
@@ -272,22 +274,22 @@ class Trainer:
                 self._cache[key] = jax.jit(call_fn, donate_argnums=(0,))
         return self._cache[key]
 
-    def train_step(self, n_rays: int, capacity: int | None = None, s_pad: int = 1024):
+    def train_step(self, n_rays: int, capacity: int | None = None, s_pad: int = 1024, n_window: int = 0):
         """Jitted step for a given (static, power-of-two) ray count.
 
         With a mesh set, returns the shard_map data-parallel step (rays
         sharded over the "data" axis, grads psum'ed; parallel/mesh.py).
         """
         capacity = capacity or self.sample_capacity
-        key = ("step", n_rays, capacity, s_pad, self._semantic_key())
+        key = ("step", n_rays, capacity, s_pad, n_window, self._semantic_key())
         if key not in self._cache:
             if self.mesh is not None and self.mesh.devices.size > 1:
                 from ngp_tpu.parallel.mesh import make_dp_train_step
 
-                self._cache[key] = make_dp_train_step(self, self.mesh, n_rays, capacity, s_pad)
+                self._cache[key] = make_dp_train_step(self, self.mesh, n_rays, capacity, s_pad, n_window=n_window)
             else:
                 self._cache[key] = jax.jit(
-                    self._train_step_fn(n_rays, capacity, s_pad), static_argnames=(), donate_argnums=(0,)
+                    self._train_step_fn(n_rays, capacity, s_pad, n_window), static_argnames=(), donate_argnums=(0,)
                 )
         return self._cache[key]
 
@@ -365,6 +367,9 @@ class TrainingLoop:
         self.measured_batch_size_before_compaction = trainer.target_batch_size
         self.training_prep_ms = 0.0
         self.training_ms = 0.0
+        # occupied-window length in lattice steps (empty-space clip); sized
+        # from the occupied-cell AABB after each grid update
+        self.n_window = 0
 
     @staticmethod
     def _quantize_n_rays(n: int) -> int:
@@ -389,14 +394,25 @@ class TrainingLoop:
 
         t0 = time.perf_counter()
         state = self.trainer.grid_update(self.i_step)(state)
-        jax.block_until_ready(state.grid.density)
+        # size the lattice window from the fresh occupied box (occupancy is
+        # constant for the next 16 steps, so this bound is exact); the
+        # readback doubles as the prep sync
+        box = np.asarray(state.grid.occ_aabb)
+        dt = self.trainer.config.sampler.min_cone_stepsize
+        from ngp_tpu.sampling.lattice import n_lattice_points as _nlat
+
+        n_lat = _nlat(self.trainer.config.sampler)
+        diag = float(np.linalg.norm(box[1] - box[0]))
+        need = int(np.ceil(diag / dt)) + 2
+        # pow2 chunks so the jit shape set stays tiny as the box shrinks
+        self.n_window = min(n_lat, max(128, 128 << int(np.ceil(np.log2(max(need / 128, 1))))))
         self.training_prep_ms = (time.perf_counter() - t0) * 1e3
 
         t0 = time.perf_counter()
         # per-step dispatch: measured gap-free on the axon runtime, and the
         # 16-step scanned variant (train_call) currently exceeds HBM — the
         # single step already peaks ~8 GB of temp at 2^19 capacity.
-        step_fn = self.trainer.train_step(self.n_rays_per_batch, self.capacity, self.s_pad)
+        step_fn = self.trainer.train_step(self.n_rays_per_batch, self.capacity, self.s_pad, self.n_window)
         ds = self.dataset
         all_stats = []
         for _ in range(n_training_steps):

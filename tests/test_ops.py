@@ -112,7 +112,7 @@ def test_hash_encode_interpolates_dense_level():
     np.testing.assert_allclose(out, expect, rtol=1e-2, atol=1e-3)
 
 
-@pytest.mark.parametrize("variant", ["xadd", "tcnn"])
+@pytest.mark.parametrize("variant", ["oadd", "xadd", "tcnn"])
 def test_hash_encode_grad_is_scatter_add(variant):
     spec = _tiny_spec(variant=variant)
     table = hash_table_init(jax.random.PRNGKey(0), spec)
@@ -134,7 +134,7 @@ def test_hash_encode_grad_is_scatter_add(variant):
     np.testing.assert_allclose(float(g[lvl, touched, 0]), float(fd), rtol=2e-2, atol=1e-5)
 
 
-@pytest.mark.parametrize("variant", ["xadd", "tcnn"])
+@pytest.mark.parametrize("variant", ["oadd", "xadd", "tcnn"])
 def test_hash_encode_pos_gradient(variant):
     """custom_vjp's analytic d/dpos vs finite differences."""
     spec = _tiny_spec(variant=variant)
@@ -154,7 +154,7 @@ def test_hash_encode_pos_gradient(variant):
         np.testing.assert_allclose(g[d], fd, rtol=5e-2, atol=1e-2)
 
 
-@pytest.mark.parametrize("variant", ["xadd", "tcnn"])
+@pytest.mark.parametrize("variant", ["oadd", "xadd", "tcnn"])
 def test_hash_encode_continuity_across_cell(variant):
     """Encoding is continuous at cell boundaries (trilerp correctness)."""
     spec = _tiny_spec(variant=variant)
@@ -232,6 +232,86 @@ def test_xadd_custom_bwd_matches_autodiff():
     # table grads accumulate in bf16 in the custom path -> bf16 tolerance
     np.testing.assert_allclose(np.asarray(gt_c), np.asarray(gt_a), rtol=0.02, atol=0.02)
     np.testing.assert_allclose(np.asarray(gp_c), np.asarray(gp_a), rtol=1e-3, atol=1e-3)
+
+
+def _oadd_8corner_reference(table, pos, spec):
+    """Per-corner gather with the fully-additive linear hash — the semantic
+    ground truth the oct-packed fast path must reproduce."""
+    from ngp_tpu.ops.hash_encoding import _oct_offsets
+
+    N = pos.shape[0]
+    out = np.zeros((N, spec.n_output_dims), np.float32)
+    tbl = np.asarray(table)
+    corners = [(cx, cy, cz) for cz in (0, 1) for cy in (0, 1) for cx in (0, 1)]
+    for l in range(spec.n_levels):
+        scale, res, size = spec.scales[l], spec.resolutions[l], spec.sizes[l]
+        sy, sz, _ = _oct_offsets(spec, l)
+        scaled = np.asarray(pos) * scale + 0.5
+        base = np.floor(scaled).astype(np.int64)
+        frac = scaled - base
+        acc = np.zeros((N, spec.n_features), np.float32)
+        for cx, cy, cz in corners:
+            c = base + np.array([cx, cy, cz])
+            w = np.prod(np.where(np.array([cx, cy, cz]) == 1, frac, 1 - frac), axis=-1)
+            if spec.dense[l]:
+                cc = np.clip(c, 0, res - 1)
+                idx = cc[:, 0] + cc[:, 1] * sy + cc[:, 2] * sz
+            else:
+                idx = (c[:, 0] + c[:, 1] * sy + c[:, 2] * sz) % size
+            acc += w[:, None] * tbl[l, idx]
+        out[:, l * spec.n_features : (l + 1) * spec.n_features] = acc
+    return out
+
+
+def test_oadd_oct_matches_8corner_reference():
+    """Oct-packed fast path == plain 8-corner additive trilerp, including the
+    dense per-dim boundary clamps and the hash mod-T oct wraparound."""
+    spec = _tiny_spec(variant="oadd")
+    rng = np.random.default_rng(7)
+    table = jnp.asarray(rng.normal(size=(spec.n_levels, spec.padded_size, 2)), jnp.float32)
+    pos = rng.uniform(0, 1, (512, 3)).astype(np.float32)
+    pos[:8] = [[0.999, 0.5, 0.5], [0.9999, 0.9999, 0.9999], [0.0, 0.0, 0.0],
+               [1.0, 1.0, 1.0], [0.0001, 0.5, 0.9999], [0.999, 0.001, 0.5],
+               [0.5, 0.5, 0.5], [0.25, 0.75, 0.999]]
+    out = np.asarray(hash_encode(table, jnp.asarray(pos), spec))
+    ref = _oadd_8corner_reference(table, pos, spec)
+    np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_oadd_custom_bwd_matches_autodiff():
+    """The oct-scatter + roll-fold backward == XLA autodiff of the forward."""
+    from ngp_tpu.ops.hash_encoding import _encode_oadd
+
+    spec = _tiny_spec(variant="oadd")
+    rng = np.random.default_rng(8)
+    table = jnp.asarray(rng.normal(size=(spec.n_levels, spec.padded_size, 2)), jnp.float32)
+    pos = jnp.asarray(rng.uniform(0, 1, (256, 3)), jnp.float32)
+    cot = jnp.asarray(rng.normal(size=(256, spec.n_output_dims)), jnp.float32)
+
+    def f_custom(tbl, p):
+        return jnp.sum(hash_encode(tbl, p, spec) * cot)
+
+    def f_auto(tbl, p):
+        return jnp.sum(_encode_oadd(tbl, p, spec) * cot)
+
+    gt_c, gp_c = jax.grad(f_custom, argnums=(0, 1))(table, pos)
+    gt_a, gp_a = jax.grad(f_auto, argnums=(0, 1))(table, pos)
+    np.testing.assert_allclose(np.asarray(gt_c), np.asarray(gt_a), rtol=0.02, atol=0.02)
+    np.testing.assert_allclose(np.asarray(gp_c), np.asarray(gp_a), rtol=1e-3, atol=1e-3)
+
+
+def test_oadd_dense_levels_match_tcnn_variant():
+    """Dense-level addressing is hash-free, so oadd == tcnn there exactly."""
+    cfg_kw = dict(n_levels=2, n_features_per_level=2, log2_hashmap_size=12, base_resolution=4, desired_resolution=8.0)
+    s_o = HashGridSpec.create(HashEncodingConfig(hash_variant="oadd", **cfg_kw))
+    s_t = HashGridSpec.create(HashEncodingConfig(hash_variant="tcnn", **cfg_kw))
+    assert all(s_o.dense) and all(s_t.dense)
+    rng = np.random.default_rng(11)
+    table = jnp.asarray(rng.normal(size=(2, s_o.padded_size, 2)), jnp.float32)
+    pos = jnp.asarray(rng.uniform(0, 1, (128, 3)), jnp.float32)
+    np.testing.assert_allclose(
+        np.asarray(hash_encode(table, pos, s_o)), np.asarray(hash_encode(table, pos, s_t)), rtol=1e-5, atol=1e-5
+    )
 
 
 # ----------------------------------------------------------------------- MLP

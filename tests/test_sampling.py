@@ -158,3 +158,100 @@ def test_overflow_rays_dropped():
     assert int(layout.flat_valid.sum()) == 2 * c
     # slots of dropped rays are holes, not reassigned
     assert int(layout.counts.sum()) == 2 * c
+
+
+def test_occ_window_clip_is_exact():
+    """Batch generation with the occupied-AABB window == full-lattice march
+    (identical counts, sample positions, layout) on a sparse grid."""
+    from ngp_tpu.data.synthetic import write_synthetic_dataset
+    from ngp_tpu.grid.occupancy import occupied_aabb
+    import tempfile
+    from pathlib import Path
+
+    cfg = SamplerConfig(grid_size=32, maximum_marching_steps=256)
+    aabb = AABB.scene(1)
+    rng = np.random.default_rng(5)
+    # sparse occupancy confined to a sub-box
+    occ = np.zeros((cfg.n_cascades, 32, 32, 32), bool)
+    occ[0, 10:20, 8:18, 12:22] = rng.uniform(size=(10, 10, 10)) < 0.5
+    occ[1, 12:18, 12:18, 12:18] = rng.uniform(size=(6, 6, 6)) < 0.3
+    occ_j = jnp.asarray(occ)
+    box = occupied_aabb(cfg, occ_j)
+
+    n_lat = n_lattice_points(cfg)
+    dt = cfg.min_cone_stepsize
+    diag = float(np.linalg.norm(np.asarray(box)[1] - np.asarray(box)[0]))
+    need = int(np.ceil(diag / dt)) + 2
+    n_window = min(n_lat, max(128, 128 << int(np.ceil(np.log2(max(need / 128, 1))))))
+    assert n_window < n_lat  # the clip actually shortens the scan
+
+    with tempfile.TemporaryDirectory() as td:
+        write_synthetic_dataset(Path(td), n_train=4, n_test=1, width=24, height=24)
+        from ngp_tpu.data.nerf_synthetic import load_nerf_synthetic
+
+        ds = load_nerf_synthetic(Path(td) / "transforms_train.json")
+        kw = dict(
+            images=ds.images, xforms=ds.xforms, focal_length=jnp.asarray(ds.focal_length),
+            principal_point=(0.5, 0.5), occupancy=occ_j, key=jax.random.PRNGKey(3),
+            n_rays=256, n_rays_shift=jnp.uint32(0), capacity=4096, n_lattice=n_lat, s_pad=256,
+        )
+        full = generate_training_batch(cfg, aabb, **kw)
+        clip = generate_training_batch(cfg, aabb, **kw, occ_aabb=box, n_window=n_window)
+
+    np.testing.assert_array_equal(np.asarray(full.layout.counts), np.asarray(clip.layout.counts))
+    np.testing.assert_array_equal(np.asarray(full.ray_valid), np.asarray(clip.ray_valid))
+    np.testing.assert_allclose(np.asarray(full.pos), np.asarray(clip.pos), atol=1e-6)
+    assert int(full.n_samples) == int(clip.n_samples) and int(full.n_samples) > 0
+
+
+def test_cone_lattice_matches_iterative_recurrence():
+    """Closed-form lattice_t == the reference's per-step recurrence
+    t' = t + clamp(c*t, m, M) (calc_dt, occupancy_sampler.cu:207-214),
+    for c = 1/256 over a range of starts."""
+    from ngp_tpu.sampling.lattice import lattice_dt, lattice_t
+
+    cfg = SamplerConfig(cone_angle_constant=1.0 / 256.0, maximum_marching_steps=1024)
+    m, M = cfg.min_cone_stepsize, cfg.max_cone_stepsize
+    c = cfg.cone_angle_constant
+    starts = np.array([0.01, 0.2, 0.433, 1.0, 3.0], np.float32)
+    K = 400
+
+    # iterative reference (float64 to isolate closed-form error)
+    ref = np.zeros((len(starts), K))
+    for r, t0 in enumerate(starts):
+        t = float(t0)
+        for i in range(K):
+            ref[r, i] = t
+            t = t + np.clip(c * t, m, M)
+
+    got = np.asarray(lattice_t(cfg, jnp.asarray(starts)[:, None], jnp.arange(K, dtype=jnp.float32)[None, :]))
+    np.testing.assert_allclose(got, ref, rtol=2e-4, atol=1e-5)
+
+    dts = np.asarray(lattice_dt(cfg, jnp.asarray(ref, jnp.float32)))
+    np.testing.assert_allclose(dts, np.clip(c * ref, m, M), rtol=1e-6)
+
+
+def test_cone_training_batch_runs():
+    """c > 0 end-to-end batch generation: finite outputs, dt_pad populated."""
+    from pathlib import Path
+    import tempfile
+
+    from ngp_tpu.data.nerf_synthetic import load_nerf_synthetic
+    from ngp_tpu.data.synthetic import write_synthetic_dataset
+
+    cfg = SamplerConfig(cone_angle_constant=1.0 / 256.0, grid_size=16, maximum_marching_steps=512)
+    aabb = AABB.scene(1)
+    occ = jnp.ones((cfg.n_cascades, 16, 16, 16), bool)
+    n_lat = n_lattice_points(cfg)
+    with tempfile.TemporaryDirectory() as td:
+        write_synthetic_dataset(Path(td), n_train=2, n_test=1, width=16, height=16)
+        ds = load_nerf_synthetic(Path(td) / "transforms_train.json")
+        batch = generate_training_batch(
+            cfg, aabb, ds.images, ds.xforms, jnp.asarray(ds.focal_length), (0.5, 0.5),
+            occ, jax.random.PRNGKey(0), 64, jnp.uint32(0), 2048, n_lat, 128,
+        )
+    assert batch.dt_pad is not None and batch.dt_pad.shape == (64, 128)
+    assert int(batch.n_samples) > 0
+    assert np.isfinite(np.asarray(batch.pos)).all()
+    d = np.asarray(batch.dt_pad)
+    assert (d >= cfg.min_cone_stepsize - 1e-9).all() and (d <= cfg.max_cone_stepsize + 1e-9).all()

@@ -62,7 +62,8 @@ def main():
     n_rays = loop.n_rays_per_batch
     s_pad = loop.s_pad
     cap = loop.capacity
-    print(f"# pinned: n_rays={n_rays} s_pad={s_pad} cap={cap}")
+    n_window = loop.n_window
+    print(f"# pinned: n_rays={n_rays} s_pad={s_pad} cap={cap} n_window={n_window}")
 
     scfg = config.sampler
     n_lat = n_lattice_points(scfg)
@@ -70,10 +71,11 @@ def main():
 
     # component fns
     @jax.jit
-    def batch_only(rng, occupancy, images, xforms, focal):
+    def batch_only(rng, occupancy, occ_box, images, xforms, focal):
         batch = generate_training_batch(
             scfg, aabb, images, xforms, focal, (0.5, 0.5), occupancy,
             rng, n_rays, jnp.uint32(0), cap, n_lat, s_pad,
+            occ_aabb=occ_box, n_window=n_window,
         )
         return batch.pos.sum() + batch.n_samples
 
@@ -86,7 +88,7 @@ def main():
     def density_only(params, pos):
         return trainer.model.density_raw(params, pos).sum()
 
-    step_fn = trainer.train_step(n_rays, cap, s_pad)
+    step_fn = trainer.train_step(n_rays, cap, s_pad, n_window)
     images, xforms, focal = ds.images, ds.xforms, jnp.asarray(ds.focal_length)
 
     def timeit(name, fn, reps=8):
@@ -103,7 +105,7 @@ def main():
     pos = jax.random.uniform(rng, (cap, 3))
     dirs = jax.random.uniform(rng, (cap, 3))
 
-    timeit("batch_gen", lambda: sync(batch_only(rng, state.grid.occupancy, images, xforms, focal)))
+    timeit("batch_gen", lambda: sync(batch_only(rng, state.grid.occupancy, state.grid.occ_aabb, images, xforms, focal)))
     timeit("fwd (hash+mlps, no grad)", lambda: sync(fwd_only(state.params, pos, dirs)))
     timeit("density_only (grid upd fwd)", lambda: sync(density_only(state.params, pos)))
 
