@@ -57,14 +57,25 @@ def main():
     tb.load_model_config_dict({})  # full defaults == base.json
     tb.load_training_data(train_json)
 
-    # warmup: let the grid bootstrap + jit compile all shapes
+    # warmup: let the grid bootstrap + jit compile all shapes. Keep going
+    # until the controller's shapes held steady for two consecutive calls —
+    # that guarantees the fused 16-step scan (used once shapes repeat) has
+    # compiled BEFORE the timed region.
     t0 = time.perf_counter()
-    while tb.training_buffer.i_step < 64:
+    stable = 0
+    while tb.training_buffer.i_step < 64 or (stable < 2 and tb.training_buffer.i_step < 256):
         tb.train(16, 1 << 18)
+        # stability = the controller wants the SAME shapes it just used (the
+        # post-call n_rays/s_pad/window equal the ones this call ran with) —
+        # comparing used-vs-used has an off-by-one that exits right as a
+        # shape switch is pending and puts its compile in the timed region
+        lp = tb._loop
+        upcoming = (lp.n_rays_per_batch, lp.capacity, lp.s_pad, lp.n_window, 16)
+        stable = stable + 1 if upcoming == lp._last_shape else 0
         print(
-            f"#   warm step={tb.training_buffer.i_step} n_rays={tb._loop.n_rays_per_batch} "
-            f"cap={tb._loop.capacity} measured={tb.training_buffer.measured_batch_size} "
-            f"t={time.perf_counter()-t0:.1f}s",
+            f"#   warm step={tb.training_buffer.i_step} n_rays={lp.n_rays_per_batch} "
+            f"cap={lp.capacity} win={lp.n_window} stable={stable} "
+            f"measured={tb.training_buffer.measured_batch_size} t={time.perf_counter()-t0:.1f}s",
             file=sys.stderr,
         )
 

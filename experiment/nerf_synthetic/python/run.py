@@ -139,23 +139,29 @@ def main():
 
         names, psnrs, ssims, lpipss, times = zip(*rows)
         out_rows = list(rows) + [("mean", np.mean(psnrs), np.mean(ssims), np.nanmean(lpipss), np.mean(times))]
+        # eval_stat.xls for artifact-name parity (reference run.py:168);
+        # fall back to a tab-separated table under the same name (Excel and
+        # pandas both open it) when no xls writer is installed
+        stat_path = os.path.join(output_dir, "eval_stat.xls")
+        cols = {
+            "": [r[0] for r in out_rows],
+            "PSNR": [r[1] for r in out_rows],
+            "SSIM": [r[2] for r in out_rows],
+            "LPIPS": [r[3] for r in out_rows],
+            "Time (s)": [r[4] for r in out_rows],
+        }
         try:
             import pandas as pd
 
-            pd.DataFrame(
-                {
-                    "": [r[0] for r in out_rows],
-                    "PSNR": [r[1] for r in out_rows],
-                    "SSIM": [r[2] for r in out_rows],
-                    "LPIPS": [r[3] for r in out_rows],
-                    "Time (s)": [r[4] for r in out_rows],
-                }
-            ).to_csv(os.path.join(output_dir, "eval_stat.csv"), index=False)
+            try:
+                pd.DataFrame(cols).to_excel(stat_path, index=False)
+            except Exception:
+                pd.DataFrame(cols).to_csv(stat_path, sep="\t", index=False)
         except ImportError:
-            with open(os.path.join(output_dir, "eval_stat.csv"), "w") as f:
-                f.write(",PSNR,SSIM,LPIPS,Time (s)\n")
+            with open(stat_path, "w") as f:
+                f.write("\tPSNR\tSSIM\tLPIPS\tTime (s)\n")
                 for r in out_rows:
-                    f.write(",".join(str(v) for v in r) + "\n")
+                    f.write("\t".join(str(v) for v in r) + "\n")
         print(
             f"PSNR={np.mean(psnrs):.3f} SSIM={np.mean(ssims):.3f} "
             f"LPIPS(VGG)={np.nanmean(lpipss):.3f} FPS={1.0/np.mean(times):.2f}"

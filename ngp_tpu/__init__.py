@@ -1,12 +1,15 @@
-"""ngp_tpu — a TPU-native Instant-NGP NeRF framework (JAX / XLA / Pallas / pjit).
+"""ngp_tpu — a TPU-native Instant-NGP NeRF framework (JAX / XLA / pjit).
 
 A ground-up rebuild of the capabilities of Minglin-Chen/instant-ngp-nerf-minimal
 (reference mounted read-only at /root/reference), designed TPU-first:
 
  * fixed-shape, masked sampling + prefix-sum compaction instead of CUDA atomics
  * closed-form t-lattice ray marching instead of divergent per-thread DDA loops
- * bf16 MXU MLPs + hash-encoding ops (XLA gather/scatter with Pallas TPU
-   kernels on the hot paths) instead of tiny-cuda-nn
+ * bf16 MXU MLPs + an oct-packed additive hash encoding (ONE XLA gather/
+   scatter row per sample per level) instead of tiny-cuda-nn — measured on
+   v5e, row-minimized XLA beats every Mosaic-expressible kernel for this
+   access pattern (ROADMAP.md microbenchmarks; Mosaic has no general
+   dynamic gather)
  * optax (Adam + exponential decay + parameter EMA) instead of the tcnn Trainer
  * data-parallel training over a `jax.sharding.Mesh` (new; the reference is
    single-GPU, SURVEY.md §2.4)

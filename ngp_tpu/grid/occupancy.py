@@ -47,9 +47,8 @@ class GridState(NamedTuple):
 
 def create_grid_state(cfg: SamplerConfig) -> GridState:
     g = cfg.grid_size
-    scale = float(1 << (cfg.n_cascades - 1))
     full = jnp.stack(
-        [jnp.full((3,), 0.5 - 0.5 * scale), jnp.full((3,), 0.5 + 0.5 * scale)]
+        [jnp.full((3,), 0.5 - 0.5 * cfg.aabb_scale), jnp.full((3,), 0.5 + 0.5 * cfg.aabb_scale)]
     )
     return GridState(
         density=jnp.zeros((cfg.n_total_elements,), jnp.float32),
@@ -64,8 +63,12 @@ def occupied_aabb(cfg: SamplerConfig, occupancy) -> jnp.ndarray:
     """World-space AABB of every occupied cell, (2, 3) f32 [lo; hi].
 
     Union over cascades (cascade c's cells span the cube of side 2^c centered
-    at 0.5). An entirely-empty grid returns a degenerate point box at the
-    scene center, which no lattice point ever falls inside.
+    at 0.5), INTERSECTED with the scene AABB — marching never leaves the
+    scene box, so occupied cells beyond it can't contribute and would only
+    inflate the window (for aabb_scale=1 the mandatory cascade-1 grid covers
+    a 2-cube the marcher never visits). An entirely-empty grid returns a
+    degenerate point box at the scene center, which no lattice point ever
+    falls inside.
     """
     g = cfg.grid_size
     los, his = [], []
@@ -82,8 +85,9 @@ def occupied_aabb(cfg: SamplerConfig, occupancy) -> jnp.ndarray:
         scale = float(1 << c)
         los.append(jnp.where(nonempty, (lo_u - 0.5) * scale + 0.5, jnp.inf))
         his.append(jnp.where(nonempty, (hi_u - 0.5) * scale + 0.5, -jnp.inf))
-    lo = jnp.min(jnp.stack(los), axis=0)
-    hi = jnp.max(jnp.stack(his), axis=0)
+    r = 0.5 * cfg.aabb_scale
+    lo = jnp.maximum(jnp.min(jnp.stack(los), axis=0), 0.5 - r)
+    hi = jnp.minimum(jnp.max(jnp.stack(his), axis=0), 0.5 + r)
     empty = lo[0] > hi[0]
     return jnp.stack([jnp.where(empty, 0.5, lo), jnp.where(empty, 0.5, hi)])
 

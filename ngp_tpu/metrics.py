@@ -77,9 +77,13 @@ def ssim(a, b, data_range=1.0) -> float:
 _LPIPS_MODEL = None
 
 
+_LPIPS_WARNED = False
+
+
 def lpips(a, b):
-    """LPIPS-VGG in [0,1] images (H,W,3); None if torch/weights unavailable."""
-    global _LPIPS_MODEL
+    """LPIPS-VGG in [0,1] images (H,W,3); None if torch/weights unavailable
+    (reported loudly once, never silently)."""
+    global _LPIPS_MODEL, _LPIPS_WARNED
     try:
         import torch
 
@@ -91,7 +95,14 @@ def lpips(a, b):
         tb = torch.from_numpy(np.ascontiguousarray(np.moveaxis(b * 2 - 1, -1, 0))[None]).float()
         with torch.no_grad():
             return float(_LPIPS_MODEL(ta, tb).item())
-    except Exception:
+    except Exception as e:
+        if not _LPIPS_WARNED:
+            _LPIPS_WARNED = True
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "LPIPS unavailable (%s: %s) — reporting None for the LPIPS column", type(e).__name__, e
+            )
         return None
 
 

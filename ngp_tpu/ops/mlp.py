@@ -8,9 +8,9 @@ I->N, (H-1)x(N->N), N->O with `activation` after every layer except the last
 
 TPU mapping: each layer is one jnp.dot in bf16 with fp32 accumulation
 (`preferred_element_type`), sized 64-wide to tile the 128x128 MXU when
-batched; XLA fuses the ReLU into the matmul epilogue. A fully-fused Pallas
-variant that keeps activations in VMEM is layered on later without changing
-this interface.
+batched; XLA fuses the ReLU into the matmul epilogue. (At these widths the
+MLPs are <10% of step time — the hash encoding's gathers dominate — so a
+hand-fused kernel has nothing left to win; tools/profile_step.py.)
 """
 
 import math

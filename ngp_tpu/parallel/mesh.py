@@ -50,8 +50,6 @@ def _make_dp_step_fn(trainer: Trainer, mesh: Mesh, n_rays_global: int, capacity:
     scfg = cfg.sampler
     model = trainer.model
     aabb = trainer.aabb
-    if cfg.envmap.train:
-        raise NotImplementedError("envmap training is single-chip only for now")
     tx = create_optimizer(cfg.optimizer)
     n_lattice = n_lattice_points(scfg)
     n_dev = mesh.devices.size
@@ -92,11 +90,21 @@ def _make_dp_step_fn(trainer: Trainer, mesh: Mesh, n_rays_global: int, capacity:
         else:
             bg_srgb = jnp.asarray(trainer.background_color, jnp.float32)
         bg_linear = srgb_to_linear(bg_srgb)
-        rgb_target, bg_composite = compute_rgb_target(
-            batch.rgba, bg_linear, trainer.color_space, cfg.render.train_in_linear_color
-        )
+        train_envmap = cfg.envmap.train and state.envmap is not None
 
-        def loss_fn(params):
+        def loss_fn(params, envmap_params):
+            if train_envmap:
+                # per-chip rays see the replicated envmap; grads psum below
+                from ngp_tpu.render.envmap import read_envmap
+
+                env = read_envmap(envmap_params, batch.rays_d)
+                bg_per_ray = env[:, :3] + bg_linear * (1.0 - env[:, 3:4])
+            else:
+                bg_per_ray = bg_linear
+            rgb_target, bg_composite = compute_rgb_target(
+                batch.rgba, bg_per_ray, trainer.color_space, cfg.render.train_in_linear_color
+            )
+            rgb_target = jax.lax.stop_gradient(rgb_target)
             rgb_raw, sigma_raw = model.rgbsigma_raw(params, batch.pos, batch.dirs)
             return train_loss(
                 rgb_raw,
@@ -117,11 +125,25 @@ def _make_dp_step_fn(trainer: Trainer, mesh: Mesh, n_rays_global: int, capacity:
                 apply_density_activation=apply_density_activation,
             )
 
-        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        env_params_in = state.envmap.params if train_envmap else jnp.zeros((1, 1, 4))
+        (loss, aux), (grads, env_grads) = jax.value_and_grad(loss_fn, argnums=(0, 1), has_aux=True)(
+            state.params, env_params_in
+        )
         grads = jax.lax.psum(grads, "data")  # all-reduce over ICI
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         ema_params = ema_update(state.ema_params, params, cfg.optimizer.ema_decay)
+
+        envmap_state = state.envmap
+        if train_envmap:
+            from ngp_tpu.render.envmap import envmap_optimizer
+
+            env_grads = jax.lax.psum(env_grads, "data")
+            env_tx = envmap_optimizer(cfg.envmap)
+            env_updates, env_opt = env_tx.update(env_grads, envmap_state.opt_state, envmap_state.params)
+            env_params = optax.apply_updates(envmap_state.params, env_updates)
+            env_ema = ema_update(envmap_state.ema_params, env_params, cfg.envmap.optimizer.ema_decay)
+            envmap_state = envmap_state._replace(params=env_params, ema_params=env_ema, opt_state=env_opt)
 
         stats = {
             "loss_sum": jax.lax.psum(jnp.sum(aux["per_ray_loss"]), "data"),
@@ -136,6 +158,7 @@ def _make_dp_step_fn(trainer: Trainer, mesh: Mesh, n_rays_global: int, capacity:
             grid=state.grid,
             step=state.step + 1,
             rng=jax.random.fold_in(rng, 0),
+            envmap=envmap_state,
         )
         return new_state, stats
 

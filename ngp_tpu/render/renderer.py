@@ -45,20 +45,7 @@ _BUDGET = 1 << 17  # network samples per compositing round (A * D)
 _D = 16  # samples per ray per round (reference marches 1..8, testbed.cu:546)
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=(
-        "model",
-        "config",
-        "render_mode",
-        "n_window",
-        "n_rounds_max",
-        "train_in_linear_color",
-        "rgb_activation",
-        "density_activation",
-    ),
-)
-def render_tile(
+def _render_tile_impl(
     model: NGPModel,
     config: NGPConfig,
     params,
@@ -218,6 +205,21 @@ def render_tile(
     return out
 
 
+render_tile = functools.partial(
+    jax.jit,
+    static_argnames=(
+        "model",
+        "config",
+        "render_mode",
+        "n_window",
+        "n_rounds_max",
+        "train_in_linear_color",
+        "rgb_activation",
+        "density_activation",
+    ),
+)(_render_tile_impl)
+
+
 def _pow2(n: int, lo: int, hi: int) -> int:
     return int(min(hi, max(lo, 1 << int(np.ceil(np.log2(max(n, 1)))))))
 
@@ -231,6 +233,11 @@ class Renderer:
     it outright, sort the rest by span length and render them in big
     homogeneous tiles whose marching window covers the tile's longest span.
     The only per-frame device->host transfer is the framebuffer itself.
+
+    With a `mesh`, each tile's rays are sharded over the "data" axis
+    (shard_map; params/grid replicated, zero collectives — rendering is
+    embarrassingly ray-parallel). NEW capability: the reference renders on
+    one GPU only (SURVEY.md §2.4).
     """
 
     model: NGPModel
@@ -239,7 +246,31 @@ class Renderer:
     train_in_linear_color: bool = False
     rgb_activation: str = "Logistic"
     density_activation: str = "Exponential"
+    mesh: object = None  # jax.sharding.Mesh -> data-parallel tiles
     _box_cache: dict = field(default_factory=dict)
+    _dp_cache: dict = field(default_factory=dict)
+
+    def _dp_render_tile(self, has_envmap: bool, **statics):
+        """shard_map'ed render_tile: rays sharded, everything else replicated."""
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        key = (has_envmap, tuple(sorted(statics.items())))
+        if key not in self._dp_cache:
+            fn = functools.partial(_render_tile_impl, self.model, self.config, **statics)
+            sh, rep = P("data"), P()
+            if has_envmap:
+                def body(params, occupancy, o, d, k0, rid, tv, spp, fwd, org, dsc, env):
+                    return fn(params, occupancy, o, d, k0, rid, tv, spp, fwd, org, dsc, envmap=env)
+                specs = (rep, rep, sh, sh, sh, sh, sh, rep, rep, rep, rep, rep)
+            else:
+                def body(params, occupancy, o, d, k0, rid, tv, spp, fwd, org, dsc):
+                    return fn(params, occupancy, o, d, k0, rid, tv, spp, fwd, org, dsc)
+                specs = (rep, rep, sh, sh, sh, sh, sh, rep, rep, rep, rep)
+            self._dp_cache[key] = jax.jit(
+                shard_map(body, mesh=self.mesh, in_specs=specs, out_specs=sh, check_vma=False)
+            )
+        return self._dp_cache[key]
 
     def _occ_box(self, occupancy, occ_aabb):
         if occ_aabb is not None:
@@ -351,9 +382,16 @@ class Renderer:
                 id_t[: sel.size] = sel
                 v_t[: sel.size] = True
                 rounds_max = int(np.ceil(tile * n_window / (_BUDGET))) + tile // (_BUDGET // _D) + 4
-                res = render_tile(
-                    self.model,
-                    self.config,
+                n_dev = self.mesh.devices.size if self.mesh is not None else 1
+                statics = dict(
+                    render_mode=render_mode,
+                    n_window=n_window,
+                    n_rounds_max=rounds_max,
+                    train_in_linear_color=self.train_in_linear_color,
+                    rgb_activation=self.rgb_activation,
+                    density_activation=self.density_activation,
+                )
+                array_args = (
                     params,
                     occupancy,
                     jnp.asarray(o_t),
@@ -365,13 +403,11 @@ class Renderer:
                     jnp.asarray(cam[:, 2]),
                     jnp.asarray(cam[:, 3]),
                     jnp.float32(1.0 / scene_scale),
-                    render_mode=render_mode,
-                    n_window=n_window,
-                    n_rounds_max=rounds_max,
-                    train_in_linear_color=self.train_in_linear_color,
-                    rgb_activation=self.rgb_activation,
-                    density_activation=self.density_activation,
-                    envmap=envmap,
                 )
+                if n_dev > 1 and tile % n_dev == 0:
+                    fn = self._dp_render_tile(envmap is not None, **statics)
+                    res = fn(*array_args, envmap) if envmap is not None else fn(*array_args)
+                else:
+                    res = render_tile(self.model, self.config, *array_args, envmap=envmap, **statics)
                 out[sel] = np.asarray(res)[: sel.size]
         return jnp.asarray(out.reshape(h, w, 4))

@@ -110,6 +110,7 @@ class Testbed:
             model=self._trainer.model,
             config=self.config,
             train_in_linear_color=self.config.render.train_in_linear_color,
+            mesh=mesh,
         )
         self.training_buffer = TrainingBufferView()
         self._loop = None
@@ -126,8 +127,24 @@ class Testbed:
         self._state = self._state._replace(grid=self._state.grid._replace(density=density))
         self._loop = TrainingLoop(self._trainer, ds)
 
-    def save_snapshot(self, snapshot_path, serialize_optimizer: bool = False):
+    def save_snapshot(self, snapshot_path, serialize_optimizer: bool = False, reference_format: bool = False):
         st = self._state
+        if reference_format:
+            # tcnn-layout interchange snapshot (testbed.cu:127-141 schema);
+            # only meaningful with hash_variant="tcnn" (snapshot.py notes)
+            from ngp_tpu.train.snapshot import save_reference_snapshot
+
+            save_reference_snapshot(
+                snapshot_path,
+                self._config_doc or self.config.raw or {},
+                params=st.params,
+                spec=self._trainer.model.grid_spec,
+                net_cfg=self.config.network,
+                density_grid=st.grid.density,
+                scene_scale=self.scene_scale,
+                scene_offset=self.scene_offset,
+            )
+            return
         _save_snapshot(
             snapshot_path,
             self._config_doc or self.config.raw or {},
@@ -142,6 +159,32 @@ class Testbed:
         )
 
     def load_snapshot(self, snapshot_path):
+        import msgpack as _msgpack
+
+        from ngp_tpu.train.snapshot import is_reference_snapshot, load_reference_snapshot_dict
+
+        with open(snapshot_path, "rb") as f:
+            probe = _msgpack.unpackb(f.read(), raw=False, strict_map_key=False)
+        if is_reference_snapshot(probe):
+            # tcnn-layout snapshot: force the tcnn hash (the table contents
+            # are a function of the hash the grid was trained with)
+            doc = {k: v for k, v in probe.items() if k != "snapshot"}
+            net = doc.setdefault("network", {})
+            net.setdefault("encoding", {})["hash_variant"] = "tcnn"
+            self._config_doc = doc
+            self._init_from_doc(doc)
+            params, grid_density, scale, offset = load_reference_snapshot_dict(
+                probe, self._trainer.model.grid_spec, self.config.network
+            )
+            self.scene_scale = scale
+            self.scene_offset = tuple(offset)
+            st = self._state
+            params = jax.tree_util.tree_map(lambda t, s: jnp.asarray(s, t.dtype), st.params, params)
+            grid = st.grid._replace(density=grid_density)
+            grid = update_occupancy(self.config.sampler, grid)
+            self._state = st._replace(params=params, ema_params=params, grid=grid)
+            self.training_buffer = TrainingBufferView()
+            return
         doc, snap = _load_snapshot(snapshot_path)
         self._config_doc = doc
         self._init_from_doc(doc)

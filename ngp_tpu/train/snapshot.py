@@ -87,3 +87,131 @@ def load_snapshot(path):
     if "opt_state_leaves" in snap_raw:
         snap["opt_state_leaves"] = [_decode_tree(x) for x in snap_raw["opt_state_leaves"]]
     return doc, snap
+
+
+# ---------------------------------------------------------------------------
+# Reference (tcnn-style) snapshot interchange
+# ---------------------------------------------------------------------------
+#
+# The reference snapshot is the model-config json serialized to msgpack with
+# a "snapshot" subtree written by tcnn's Trainer::serialize plus the density
+# grid and scene info (testbed.cu:127-163). The parameter vector is FLAT in
+# the order density net -> rgb net -> pos encoding -> dir encoding
+# (ngp_network.h:496-541), with tcnn's member layouts:
+#  * FullyFusedMLP: per layer a ROW-major (n_out, n_in) matrix, input layer
+#    first, output last; the rgb net's output matrix is padded to
+#    padded_output_width=16 rows (ngp_network.h:547, alignment 16 for fused
+#    nets h:732-743); no biases.
+#  * HashGrid: levels concatenated at their 8-aligned sizes, entry-major
+#    with the F features of an entry contiguous.
+#  * SphericalHarmonics: no parameters.
+# "params_binary" carries the raw bytes with "params_type" naming the
+# element type; we export "float" (fp32, lossless from our masters) and
+# import either "float" or "__half".
+#
+# NOTE: an imported tcnn checkpoint is only semantically meaningful with
+# hash_variant="tcnn" (the table contents are a function of the hash); the
+# loader reports this so the caller can pin the variant.
+
+
+def _reference_mlp_slices(n_input, n_neurons, n_output_padded, n_hidden_layers):
+    """tcnn fused-MLP layer shapes, row-major (out, in), input->output."""
+    dims = [n_input] + [n_neurons] * n_hidden_layers + [n_output_padded]
+    return [(dims[i + 1], dims[i]) for i in range(len(dims) - 1)]
+
+
+def pack_reference_params(params, spec, net_cfg) -> np.ndarray:
+    """Model params tree -> flat fp32 vector in the reference layout."""
+    out = []
+    # density net: ours (in, out) column layouts -> tcnn (out, in) row-major
+    for w in params["density_mlp"]:
+        out.append(np.asarray(w, np.float32).T.reshape(-1))
+    # rgb net: pad the output layer's 3 columns to 16 (padded_output_width)
+    rgb = [np.asarray(w, np.float32) for w in params["rgb_mlp"]]
+    last = np.zeros((rgb[-1].shape[0], 16), np.float32)
+    last[:, : rgb[-1].shape[1]] = rgb[-1]
+    for w in rgb[:-1]:
+        out.append(w.T.reshape(-1))
+    out.append(last.T.reshape(-1))
+    # pos encoding: levels at their aligned sizes, entry-major, F-fast
+    tbl = np.asarray(params["hash_table"], np.float32)
+    for l in range(spec.n_levels):
+        out.append(tbl[l, : spec.sizes[l], :].reshape(-1))
+    return np.concatenate(out)
+
+
+def unpack_reference_params(flat, spec, net_cfg):
+    """Flat reference-layout fp32 vector -> model params tree."""
+    flat = np.asarray(flat, np.float32)
+    pos = 0
+
+    def take(shape):
+        nonlocal pos
+        n = int(np.prod(shape))
+        a = flat[pos : pos + n].reshape(shape)
+        pos += n
+        return a
+
+    sh_dims = net_cfg.sh_degree**2
+    density_out = net_cfg.density_n_output_dims
+    density = []
+    for shp in _reference_mlp_slices(
+        spec.n_output_dims, net_cfg.density_mlp.n_neurons, density_out, net_cfg.density_mlp.n_hidden_layers
+    ):
+        density.append(jnp.asarray(take(shp).T))
+    rgb = []
+    shapes = _reference_mlp_slices(
+        density_out + sh_dims, net_cfg.rgb_mlp.n_neurons, 16, net_cfg.rgb_mlp.n_hidden_layers
+    )
+    for i, shp in enumerate(shapes):
+        w = take(shp).T
+        if i == len(shapes) - 1:
+            w = w[:, :3]  # strip the output padding
+        rgb.append(jnp.asarray(w))
+    tbl = np.zeros((spec.n_levels, spec.padded_size, spec.n_features), np.float32)
+    for l in range(spec.n_levels):
+        tbl[l, : spec.sizes[l], :] = take((spec.sizes[l], spec.n_features))
+    if pos != flat.size:
+        raise ValueError(f"reference param vector has {flat.size} elements, consumed {pos}")
+    return {"hash_table": jnp.asarray(tbl), "density_mlp": density, "rgb_mlp": rgb}
+
+
+def save_reference_snapshot(path, config_doc: dict, *, params, spec, net_cfg, density_grid, scene_scale, scene_offset):
+    """Write a tcnn-layout snapshot (testbed.cu:127-141 schema)."""
+    flat = pack_reference_params(params, spec, net_cfg)
+    doc = dict(config_doc)
+    doc["snapshot"] = {
+        "n_params": int(flat.size),
+        "params_type": "float",
+        "params_binary": flat.tobytes(),
+        "density_grid": [float(v) for v in np.asarray(density_grid, np.float32)],
+        "scene_scale": float(scene_scale),
+        "scene_offset": [float(v) for v in scene_offset],
+    }
+    with open(path, "wb") as f:
+        f.write(msgpack.packb(doc, use_bin_type=True))
+
+
+def load_reference_snapshot_dict(doc, spec, net_cfg):
+    """Reference-style snapshot dict -> (params, density_grid, scale, offset).
+
+    Accepts params_type "float" or "__half"."""
+    snap = doc["snapshot"]
+    ptype = snap.get("params_type", "__half")
+    raw = snap["params_binary"]
+    if isinstance(raw, (bytes, bytearray)):
+        buf = bytes(raw)
+    else:  # nlohmann binary may decode as a list of ints
+        buf = bytes(raw)
+    dtype = np.float32 if ptype == "float" else np.float16
+    flat = np.frombuffer(buf, dtype=dtype).astype(np.float32)
+    if "n_params" in snap and int(snap["n_params"]) != flat.size:
+        raise ValueError(f"n_params {snap['n_params']} != binary size {flat.size}")
+    params = unpack_reference_params(flat, spec, net_cfg)
+    grid = jnp.asarray(np.asarray(snap["density_grid"], np.float32))
+    return params, grid, float(snap.get("scene_scale", 0.33)), list(snap.get("scene_offset", [0.5, 0.5, 0.5]))
+
+
+def is_reference_snapshot(doc) -> bool:
+    snap = doc.get("snapshot")
+    return isinstance(snap, dict) and "params_binary" in snap

@@ -74,3 +74,21 @@ def test_tonemap_background_composite_and_srgb():
     accum = jnp.concatenate([jnp.full((2, 2, 3), 0.25), jnp.ones((2, 2, 1))], axis=-1)
     out3 = np.asarray(tonemap(accum, 1.0, [0, 0, 0, 1], "Linear", "Linear", "Identity"))
     np.testing.assert_allclose(out3[..., :3], 0.5, rtol=1e-6)
+
+
+def test_accumulate_visposneg_folds_signed_value():
+    """render_buffer.cu:65-76: channels 0/1 accumulate the signed value
+    frame0 - frame1 as positive/negative parts; channel 2 passes through."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ngp_tpu.render.buffer import accumulate
+
+    accum = jnp.zeros((1, 1, 4))
+    f1 = jnp.asarray([[[0.75, 0.25, 0.9, 1.0]]])  # signed value +0.5
+    a1 = accumulate(accum, f1, 0, "VisPosNeg")
+    np.testing.assert_allclose(np.asarray(a1)[0, 0], [0.5, 0.0, 0.0, 1.0], atol=1e-6)
+    f2 = jnp.asarray([[[0.0, 1.5, 0.0, 1.0]]])  # signed value -1.5
+    a2 = accumulate(a1, f2, 1, "VisPosNeg")
+    # running signed mean: (0.5 - 1.5)/2 = -0.5 -> neg channel
+    np.testing.assert_allclose(np.asarray(a2)[0, 0], [0.0, 0.5, 0.0, 1.0], atol=1e-6)

@@ -54,3 +54,84 @@ def test_resume_with_optimizer_state(tmp_path):
         tb2.training_buffer.loss,
         loss_before,
     )
+
+
+def test_reference_snapshot_roundtrip(tmp_path):
+    """tcnn-layout interchange (ngp_network.h:496-541 order): export ->
+    sniffing loader -> identical params, density grid, and render."""
+    import jax
+    import jax.numpy as jnp
+
+    train_json, _ = write_synthetic_dataset(tmp_path, n_train=4, n_test=1, width=32, height=32)
+    cfg = {**CFG, "network": {**CFG["network"], "encoding": {**CFG["network"]["encoding"], "hash_variant": "tcnn"}}}
+    tb = Testbed()
+    tb.load_model_config_dict(cfg)
+    tb._trainer.sample_capacity = 1 << 13
+    tb.load_training_data(train_json)
+    tb.train(16, 1 << 12)
+    snap = tmp_path / "ref_style.msgpack"
+    tb.save_snapshot(str(snap), reference_format=True)
+
+    tb2 = Testbed()
+    tb2.load_snapshot(str(snap))
+    assert tb2.config.network.encoding.hash_variant == "tcnn"
+    # MLP weights exact; hash levels exact over their LIVE rows (padding
+    # rows past a level's size are unused and not part of the format)
+    for k in ("density_mlp", "rgb_mlp"):
+        for a, b in zip(tb._state.params[k], tb2._state.params[k], strict=True):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=0, rtol=0)
+    sp = tb._trainer.model.grid_spec
+    t_a = np.asarray(tb._state.params["hash_table"])
+    t_b = np.asarray(tb2._state.params["hash_table"])
+    for l in range(sp.n_levels):
+        np.testing.assert_allclose(t_a[l, : sp.sizes[l]], t_b[l, : sp.sizes[l]], atol=0, rtol=0)
+    np.testing.assert_allclose(
+        np.asarray(tb._state.grid.density), np.asarray(tb2._state.grid.density), rtol=1e-6, atol=1e-7
+    )
+    assert tb2.scene_scale == tb.scene_scale
+
+    img1 = tb2.render(32, 32, spp=1, to_srgb=True)
+    tb.load_training_data(train_json)  # no-op for params; renders use state
+    # render from the ORIGINAL testbed with ema == params? the exporter wrote
+    # raw params; compare against a fresh render through the imported state
+    tb._state = tb._state._replace(ema_params=tb._state.params)
+    img0 = tb.render(32, 32, spp=1, to_srgb=True)
+    np.testing.assert_allclose(np.asarray(img0), np.asarray(img1), atol=1e-4)
+
+
+def test_reference_snapshot_half_precision_import(tmp_path):
+    """A __half params_binary (what a real tcnn snapshot carries) imports."""
+    import msgpack
+
+    from ngp_tpu.models.ngp import NGPModel
+    from ngp_tpu.train.snapshot import pack_reference_params
+    from ngp_tpu.utils.config import NGPConfig
+
+    cfg_doc = {**CFG, "network": {**CFG["network"], "encoding": {**CFG["network"]["encoding"], "hash_variant": "tcnn"}}}
+    config = NGPConfig.from_json(cfg_doc)
+    model = NGPModel.create(config.network)
+    import jax
+
+    params = model.init(jax.random.PRNGKey(0))
+    flat = pack_reference_params(params, model.grid_spec, config.network).astype(np.float16)
+    n_cells = config.sampler.n_total_elements
+    doc = dict(cfg_doc)
+    doc["snapshot"] = {
+        "n_params": int(flat.size),
+        "params_type": "__half",
+        "params_binary": flat.tobytes(),
+        "density_grid": [0.02] * n_cells,
+        "scene_scale": 0.33,
+        "scene_offset": [0.5, 0.5, 0.5],
+    }
+    p = tmp_path / "half.msgpack"
+    with open(p, "wb") as f:
+        f.write(msgpack.packb(doc, use_bin_type=True))
+
+    tb = Testbed()
+    tb.load_snapshot(str(p))
+    got = np.asarray(tb._state.params["hash_table"])
+    want = np.asarray(params["hash_table"]).astype(np.float16).astype(np.float32)
+    sp = model.grid_spec
+    for l in range(sp.n_levels):
+        np.testing.assert_allclose(got[l, : sp.sizes[l]], want[l, : sp.sizes[l]], atol=0, rtol=0)

@@ -22,7 +22,7 @@ TINY_CONFIG = {
 }
 
 
-@pytest.mark.parametrize("nerf_compat", [False])
+@pytest.mark.parametrize("nerf_compat", [False, True])
 def test_run_cli_train_and_eval(tmp_path, nerf_compat):
     from ngp_tpu.data.synthetic import write_synthetic_dataset
 
@@ -57,7 +57,7 @@ def test_run_cli_train_and_eval(tmp_path, nerf_compat):
     assert out.returncode == 0, out.stdout[-2000:] + out.stderr[-2000:]
     assert snap.exists()
     assert (snap.parent / "train_timing.txt").exists()
-    assert (snap.parent / "eval_stat.csv").exists()
+    assert (snap.parent / "eval_stat.xls").exists()
     assert "PSNR=" in out.stdout
     # rendered artifacts written
     assert any((snap.parent / "image").iterdir())

@@ -1,0 +1,102 @@
+"""Round-2 evidence run: larger procedural scene, many held-out views.
+
+Trains the FULL base.json config on a procedural nerf_synthetic-format
+scene (no real nerf_synthetic data ships in this environment), evaluates
+PSNR/SSIM on >= 8 held-out views, and reports honest protocol timing
+(measured steady-state step time extrapolated to the reference's 50k-step
+protocol).
+
+Usage: python tools/evidence_run.py [n_steps] [width] [out_json]
+"""
+
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import numpy as np
+
+
+def main():
+    n_steps = int(sys.argv[1]) if len(sys.argv) > 1 else 4096
+    width = int(sys.argv[2]) if len(sys.argv) > 2 else 800
+    out_path = sys.argv[3] if len(sys.argv) > 3 else "/tmp/evidence_r2.json"
+
+    import jax
+
+    from ngp_tpu import metrics
+    from ngp_tpu.data.synthetic import render_ground_truth, write_synthetic_dataset
+    from ngp_tpu.testbed import Testbed
+    from ngp_tpu.utils.color import linear_to_srgb
+
+    scene = Path(f"/tmp/ngp_evidence_scene_{width}")
+    if not (scene / "transforms_train.json").exists():
+        scene.mkdir(parents=True, exist_ok=True)
+        t0 = time.perf_counter()
+        write_synthetic_dataset(scene, n_train=32, n_test=8, width=width, height=width)
+        print(f"# dataset gen ({width}^2, 32 train / 8 test): {time.perf_counter()-t0:.1f}s", flush=True)
+
+    tb = Testbed()
+    tb.load_model_config_dict({})  # full base.json-equivalent defaults
+    t0 = time.perf_counter()
+    tb.load_training_data(scene / "transforms_train.json")
+    print(f"# load_training_data: {time.perf_counter()-t0:.1f}s", flush=True)
+
+    t_train0 = time.perf_counter()
+    steady = []
+    while tb.training_buffer.i_step < n_steps:
+        t0 = time.perf_counter()
+        tb.train(16, 1 << 18)
+        dt = time.perf_counter() - t0
+        if tb.training_buffer.i_step > 256:
+            steady.append(dt)
+        if tb.training_buffer.i_step % 512 == 0:
+            print(
+                f"# step={tb.training_buffer.i_step} loss={tb.training_buffer.loss:.5f} win={tb._loop.n_window} n_rays={tb._loop.n_rays_per_batch} "
+                f"measured={tb.training_buffer.measured_batch_size} call={dt:.2f}s "
+                f"(prep {tb.training_buffer.training_prep_ms:.0f}ms) total={time.perf_counter()-t_train0:.0f}s",
+                flush=True,
+            )
+    train_s = time.perf_counter() - t_train0
+    per_call = float(np.median(steady)) if steady else float("nan")
+    sps = tb.training_buffer.measured_batch_size * 16 / per_call
+
+    # evaluation: the reference protocol (run.py:98-169) — spp 8, black bg
+    test_doc = json.loads((scene / "transforms_test.json").read_text())
+    tb.background_color = [0.0, 0.0, 0.0, 1.0]
+    tb.rendering_buffer.fov_axis = 0
+    tb.fov = test_doc["camera_angle_x"]
+    rows = []
+    for i, fr in enumerate(test_doc["frames"]):
+        pose = np.asarray(fr["transform_matrix"], np.float32)[:3, :4]
+        tb.set_nerf_camera_matrix(pose)
+        t0 = time.perf_counter()
+        img = np.asarray(tb.render(width, width, spp=8, to_srgb=True))
+        t_render = time.perf_counter() - t0
+        ref = np.asarray(render_ground_truth(pose, width, width, test_doc["camera_angle_x"]))
+        A = np.clip(img[..., :3], 0, 1)
+        R = np.clip(np.asarray(linear_to_srgb(ref[..., :3])), 0, 1)
+        p, s_ = metrics.psnr(A, R), metrics.ssim(A, R)
+        rows.append({"view": i, "psnr": float(p), "ssim": float(s_), "render_s": t_render})
+        print(f"# view {i}: PSNR={p:.2f} SSIM={s_:.3f} render={t_render:.1f}s", flush=True)
+
+    result = {
+        "n_steps": int(tb.training_buffer.i_step),
+        "width": width,
+        "train_wall_s": train_s,
+        "median_call_s": per_call,
+        "steady_samples_per_s": sps,
+        "protocol_50k_extrapolation_s": per_call * 50000 / 16,
+        "views": rows,
+        "psnr_mean": float(np.mean([r["psnr"] for r in rows])),
+        "ssim_mean": float(np.mean([r["ssim"] for r in rows])),
+        "render_mean_s": float(np.mean([r["render_s"] for r in rows[1:]] or [rows[0]["render_s"]])),
+    }
+    Path(out_path).write_text(json.dumps(result, indent=1))
+    print(json.dumps({k: v for k, v in result.items() if k != "views"}), flush=True)
+
+
+if __name__ == "__main__":
+    main()
