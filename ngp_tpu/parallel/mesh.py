@@ -39,9 +39,33 @@ from ngp_tpu.train.trainer import TrainState, Trainer, compute_rgb_target
 from ngp_tpu.utils.color import srgb_to_linear
 
 
-def make_mesh(devices=None) -> Mesh:
+def make_mesh(devices=None, n_slices: int = 1) -> Mesh:
+    """1-D ("data",) mesh, or a 2-D ("dcn", "data") mesh with `n_slices`
+    slices for multi-slice pods: the slow DCN axis is OUTERMOST, so the
+    per-step gradient all-reduce decomposes into a big intra-slice psum over
+    ICI plus a small cross-slice psum over DCN (scaling-book layout)."""
     devices = devices if devices is not None else jax.devices()
-    return Mesh(np.asarray(devices), axis_names=("data",))
+    devices = np.asarray(devices)
+    if n_slices <= 1:
+        return Mesh(devices, axis_names=("data",))
+    if devices.size % n_slices:
+        raise ValueError(f"{devices.size} devices not divisible by {n_slices} slices")
+    return Mesh(devices.reshape(n_slices, -1), axis_names=("dcn", "data"))
+
+
+def _axes(mesh: Mesh):
+    """All mesh axis names, for global collectives (("data",) or
+    ("dcn", "data"))."""
+    return tuple(mesh.axis_names)
+
+
+def _global_index(mesh: Mesh):
+    """Linear device index over the whole mesh (slice-major)."""
+    idx = jax.lax.axis_index(mesh.axis_names[-1])
+    if len(mesh.axis_names) == 2:
+        n_inner = mesh.devices.shape[-1]
+        idx = jax.lax.axis_index("dcn") * n_inner + idx
+    return idx
 
 
 def _make_dp_step_fn(trainer: Trainer, mesh: Mesh, n_rays_global: int, capacity: int | None = None, s_pad: int = 1024, n_window: int = 0):
@@ -59,9 +83,10 @@ def _make_dp_step_fn(trainer: Trainer, mesh: Mesh, n_rays_global: int, capacity:
     capacity_local = max((capacity or trainer.sample_capacity) // n_dev, 1024)
 
     rep = P()  # replicated
+    axes = _axes(mesh)
 
     def step_fn(state: TrainState, images, xforms, focal_length, n_rays_shift):
-        axis = jax.lax.axis_index("data")
+        axis = _global_index(mesh)
         rng, k_bg = jax.random.split(state.rng)
         k_local = jax.random.fold_in(jax.random.fold_in(rng, 1), axis)
 
@@ -129,7 +154,7 @@ def _make_dp_step_fn(trainer: Trainer, mesh: Mesh, n_rays_global: int, capacity:
         (loss, aux), (grads, env_grads) = jax.value_and_grad(loss_fn, argnums=(0, 1), has_aux=True)(
             state.params, env_params_in
         )
-        grads = jax.lax.psum(grads, "data")  # all-reduce over ICI
+        grads = jax.lax.psum(grads, axes)  # ICI within a slice, DCN across
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         ema_params = ema_update(state.ema_params, params, cfg.optimizer.ema_decay)
@@ -138,7 +163,7 @@ def _make_dp_step_fn(trainer: Trainer, mesh: Mesh, n_rays_global: int, capacity:
         if train_envmap:
             from ngp_tpu.render.envmap import envmap_optimizer
 
-            env_grads = jax.lax.psum(env_grads, "data")
+            env_grads = jax.lax.psum(env_grads, axes)
             env_tx = envmap_optimizer(cfg.envmap)
             env_updates, env_opt = env_tx.update(env_grads, envmap_state.opt_state, envmap_state.params)
             env_params = optax.apply_updates(envmap_state.params, env_updates)
@@ -146,10 +171,10 @@ def _make_dp_step_fn(trainer: Trainer, mesh: Mesh, n_rays_global: int, capacity:
             envmap_state = envmap_state._replace(params=env_params, ema_params=env_ema, opt_state=env_opt)
 
         stats = {
-            "loss_sum": jax.lax.psum(jnp.sum(aux["per_ray_loss"]), "data"),
-            "measured_batch_size": jax.lax.psum(aux["measured_batch_size"], "data"),
-            "measured_batch_size_before_compaction": jax.lax.psum(batch.n_samples, "data"),
-            "max_ray_count": jax.lax.pmax(batch.max_ray_count, "data"),
+            "loss_sum": jax.lax.psum(jnp.sum(aux["per_ray_loss"]), axes),
+            "measured_batch_size": jax.lax.psum(aux["measured_batch_size"], axes),
+            "measured_batch_size_before_compaction": jax.lax.psum(batch.n_samples, axes),
+            "max_ray_count": jax.lax.pmax(batch.max_ray_count, axes),
         }
         new_state = TrainState(
             params=params,
@@ -207,8 +232,10 @@ def make_dp_grid_update(trainer: Trainer, mesh: Mesh, n_uniform: int, n_nonunifo
     nu, nn = n_uniform // n_dev, n_nonuniform // n_dev
     rep = P()
 
+    axes = _axes(mesh)
+
     def update_fn(state: TrainState):
-        axis = jax.lax.axis_index("data")
+        axis = _global_index(mesh)
         rng, k_grid = jax.random.split(state.rng)
         k_local = jax.random.fold_in(k_grid, axis)
         pos, idx = sample_grid_positions(scfg, state.grid.density, k_local, nu, nn, state.grid.step)
@@ -230,7 +257,7 @@ def make_dp_grid_update(trainer: Trainer, mesh: Mesh, n_uniform: int, n_nonunifo
         # local scatter-max splat, then pmax across chips == global atomicMax
         optical = dens * scfg.min_cone_stepsize
         current = jnp.zeros_like(state.grid.density).at[idx].max(optical)
-        current = jax.lax.pmax(current, "data")
+        current = jax.lax.pmax(current, axes)
         prev = state.grid.density
         new_density = jnp.where(prev < 0.0, prev, jnp.maximum(prev * scfg.ema_decay, current))
         grid = state.grid._replace(density=new_density, step=state.grid.step + 1)

@@ -258,7 +258,7 @@ class Renderer:
         key = (has_envmap, tuple(sorted(statics.items())))
         if key not in self._dp_cache:
             fn = functools.partial(_render_tile_impl, self.model, self.config, **statics)
-            sh, rep = P("data"), P()
+            sh, rep = P(tuple(self.mesh.axis_names)), P()  # rays over ALL mesh axes
             if has_envmap:
                 def body(params, occupancy, o, d, k0, rid, tv, spp, fwd, org, dsc, env):
                     return fn(params, occupancy, o, d, k0, rid, tv, spp, fwd, org, dsc, envmap=env)

@@ -216,3 +216,36 @@ def test_dp_envmap_training_runs(scene):
     env1 = np.asarray(tb._state.envmap.params)
     assert np.isfinite(env1).all()
     assert not np.allclose(env0, env1)  # the envmap actually trained
+
+
+def test_dp_2d_mesh_dcn_data(scene):
+    """2-D ("dcn", "data") mesh for multi-slice pods: grads psum over both
+    axes (ICI within a slice + DCN across), global ray indexing slice-major."""
+    from ngp_tpu.data.nerf_synthetic import load_nerf_synthetic
+    from ngp_tpu.parallel.mesh import make_dp_grid_update, make_dp_train_step, make_mesh
+    from ngp_tpu.train.trainer import Trainer
+    from ngp_tpu.utils.config import NGPConfig
+
+    train_json, _ = scene
+    ds = load_nerf_synthetic(train_json)
+    cfg = NGPConfig.from_json(
+        {
+            "samlper": {"grid_size": 16, "maximum_marching_steps": 128},
+            "network": {
+                "encoding": {"n_levels": 4, "log2_hashmap_size": 12, "base_resolution": 8, "desired_resolution": 64},
+                "network": {"n_neurons": 64, "n_hidden_layers": 1},
+                "dir_encoding": {"degree": 4},
+                "rgb_network": {"n_neurons": 64, "n_hidden_layers": 2},
+            },
+        }
+    )
+    trainer = Trainer.create(cfg)
+    trainer.sample_capacity = 4096
+    state = trainer.init_state(0)
+    mesh = make_mesh(n_slices=2)
+    assert mesh.axis_names == ("dcn", "data") and mesh.devices.shape == (2, 4)
+    state = make_dp_grid_update(trainer, mesh, cfg.sampler.n_total_elements, 0)(state)
+    step = make_dp_train_step(trainer, mesh, n_rays_global=1024)
+    state, stats = step(state, ds.images, ds.xforms, jnp.asarray(ds.focal_length), jnp.uint32(0))
+    assert np.isfinite(float(stats["loss_sum"]))
+    assert int(stats["measured_batch_size"]) > 0
