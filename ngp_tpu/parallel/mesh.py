@@ -68,7 +68,7 @@ def _global_index(mesh: Mesh):
     return idx
 
 
-def _make_dp_step_fn(trainer: Trainer, mesh: Mesh, n_rays_global: int, capacity: int | None = None, s_pad: int = 1024, n_window: int = 0):
+def _make_dp_step_fn(trainer: Trainer, mesh: Mesh, n_rays_global: int, capacity: int | None = None, s_pad: int = 1024, n_window: int = 0, s_short: int = 0, n_long: int = 0):
     """Per-device step body (must run inside shard_map)."""
     cfg = trainer.config
     scfg = cfg.sampler
@@ -108,6 +108,8 @@ def _make_dp_step_fn(trainer: Trainer, mesh: Mesh, n_rays_global: int, capacity:
             index_offset=axis * n_rays_local,
             occ_aabb=state.grid.occ_aabb,
             n_window=n_window,
+            s_short=s_short,
+            n_long=max(n_long // n_dev, 1) if n_long else 0,
         )
 
         if cfg.render.train_with_random_bg_color:
@@ -131,14 +133,27 @@ def _make_dp_step_fn(trainer: Trainer, mesh: Mesh, n_rays_global: int, capacity:
             )
             rgb_target = jax.lax.stop_gradient(rgb_target)
             rgb_raw, sigma_raw = model.rgbsigma_raw(params, batch.pos, batch.dirs)
+            extra = ()
+            if batch.layout_long is not None:
+                bg_long = bg_composite[batch.sel_long] if bg_composite.ndim == 2 else bg_composite
+                extra = (
+                    (
+                        batch.layout_long,
+                        batch.dt_pad_long if batch.dt_pad_long is not None else scfg.min_cone_stepsize,
+                        batch.valid_long,
+                        rgb_target[batch.sel_long],
+                        bg_long,
+                    ),
+                )
             return train_loss(
                 rgb_raw,
                 sigma_raw,
                 batch.layout,
                 batch.dt_pad if batch.dt_pad is not None else scfg.min_cone_stepsize,
-                batch.ray_valid,
+                batch.valid_short,
                 rgb_target,
                 bg_composite,
+                extra_buckets=extra,
                 n_rays_denom=n_rays_global,
                 loss_type=cfg.loss,
                 transmittance_threshold=cfg.render.transmittance_threshold,
@@ -171,10 +186,11 @@ def _make_dp_step_fn(trainer: Trainer, mesh: Mesh, n_rays_global: int, capacity:
             envmap_state = envmap_state._replace(params=env_params, ema_params=env_ema, opt_state=env_opt)
 
         stats = {
-            "loss_sum": jax.lax.psum(jnp.sum(aux["per_ray_loss"]), axes),
+            "loss_sum": jax.lax.psum(aux["loss_sum"], axes),
             "measured_batch_size": jax.lax.psum(aux["measured_batch_size"], axes),
             "measured_batch_size_before_compaction": jax.lax.psum(batch.n_samples, axes),
             "max_ray_count": jax.lax.pmax(batch.max_ray_count, axes),
+            "count_at_split": jax.lax.pmax(batch.count_at_split, axes),
         }
         new_state = TrainState(
             params=params,
@@ -190,9 +206,9 @@ def _make_dp_step_fn(trainer: Trainer, mesh: Mesh, n_rays_global: int, capacity:
     return step_fn
 
 
-def make_dp_train_step(trainer: Trainer, mesh: Mesh, n_rays_global: int, capacity: int | None = None, s_pad: int = 1024, n_window: int = 0):
+def make_dp_train_step(trainer: Trainer, mesh: Mesh, n_rays_global: int, capacity: int | None = None, s_pad: int = 1024, n_window: int = 0, s_short: int = 0, n_long: int = 0):
     """Single sharded train step (rays over "data", psum grads)."""
-    step_fn = _make_dp_step_fn(trainer, mesh, n_rays_global, capacity, s_pad, n_window)
+    step_fn = _make_dp_step_fn(trainer, mesh, n_rays_global, capacity, s_pad, n_window, s_short, n_long)
     rep = P()
     sharded = shard_map(
         step_fn,
@@ -204,9 +220,9 @@ def make_dp_train_step(trainer: Trainer, mesh: Mesh, n_rays_global: int, capacit
     return jax.jit(sharded, donate_argnums=(0,))
 
 
-def make_dp_train_call(trainer: Trainer, mesh: Mesh, n_rays_global: int, capacity: int, s_pad: int, n_steps: int, n_window: int = 0):
+def make_dp_train_call(trainer: Trainer, mesh: Mesh, n_rays_global: int, capacity: int, s_pad: int, n_steps: int, n_window: int = 0, s_short: int = 0, n_long: int = 0):
     """n_steps sharded inner steps fused into one jitted lax.scan call."""
-    step_fn = _make_dp_step_fn(trainer, mesh, n_rays_global, capacity, s_pad, n_window)
+    step_fn = _make_dp_step_fn(trainer, mesh, n_rays_global, capacity, s_pad, n_window, s_short, n_long)
     rep = P()
 
     def call_fn(state, images, xforms, focal_length, shift0):

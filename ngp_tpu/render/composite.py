@@ -91,6 +91,7 @@ def train_loss(
     min_optical_thickness: float,
     apply_rgb_activation,
     apply_density_activation,
+    extra_buckets=(),  # [(layout, dt, ray_valid_rows, rgb_target_rows, background_rows)]
 ):
     """Scalar training objective; `jax.grad` of this reproduces the
     reference's hand-derived sample gradients (ray_marcher.cu:156-188).
@@ -104,36 +105,54 @@ def train_loss(
           (the reference adds the density-L1 term unscaled by loss_scale,
            cu:182 — we reproduce the effective magnitude exactly)
 
+    `extra_buckets` lets the caller split rays over several (rows, width)
+    padded layouts over the SAME flat buffer (each ray composited in exactly
+    one bucket): the dense composite work scales with rows x width, and a
+    short-wide split cuts the padding a long-tailed ray distribution forces
+    on a single layout (~2.8x fewer padded slots in practice). Losses and
+    stats are summed across buckets.
+
     Returns (loss_scalar, aux dict).
     """
-    n_rays = rgb_target.shape[0]
-    # flat -> padded through the gather-only bijection, ONE wide transfer
     packed = jnp.concatenate([rgb_raw, sigma_raw[:, None]], axis=-1)  # (C, 4)
-    padded = pad_layout(layout, packed)  # (R, S, 4)
-    rgb_raw_p, sigma_raw_p = padded[..., :3], padded[..., 3]
 
-    sigma = apply_density_activation(sigma_raw_p, density_activation)
-    rgb = apply_rgb_activation(rgb_raw_p, rgb_activation)
-
-    valid = layout.pad_valid & ray_valid[:, None]
-    res = composite_rays(
-        rgb, sigma, dt, valid, layout.counts, background, transmittance_threshold
-    )
-    per_ray_loss = jnp.mean(losses.loss_value(rgb_target, res.rgb_ray, loss_type), axis=-1)
-    per_ray_loss = jnp.where(ray_valid, per_ray_loss, 0.0)
-    loss = jnp.sum(per_ray_loss) / n_rays_denom
-
-    include = jax.lax.stop_gradient(res.include)
-    if rgb_activation.lower() == "exponential":
-        reg = 0.5 * 1e-4 * jnp.sum(jnp.where(include[..., None], jax.nn.relu(rgb_raw_p) ** 2, 0.0))
-        loss = loss + reg / n_rays_denom
+    loss = jnp.zeros(())
+    loss_sum = jnp.zeros(())
+    measured = jnp.zeros((), jnp.int32)
+    aux = {}
     l1_coeff = jnp.where(mean_density < min_optical_thickness, 1e-4 / LOSS_SCALE, 0.0)
-    loss = loss + l1_coeff * jnp.sum(jnp.where(include, jax.nn.relu(-sigma_raw_p), 0.0))
 
-    aux = {
-        "per_ray_loss": per_ray_loss,
-        "rgb_ray": res.rgb_ray,
-        "n_included": res.n_included,
-        "measured_batch_size": jnp.sum(res.n_included),
-    }
+    for b, (lay, dt_b, rv_b, tgt_b, bg_b) in enumerate(
+        ((layout, dt, ray_valid, rgb_target, background),) + tuple(extra_buckets)
+    ):
+        # flat -> padded through the gather-only bijection, ONE wide transfer
+        padded = pad_layout(lay, packed)  # (Rb, Sb, 4)
+        rgb_raw_p, sigma_raw_p = padded[..., :3], padded[..., 3]
+
+        sigma = apply_density_activation(sigma_raw_p, density_activation)
+        rgb = apply_rgb_activation(rgb_raw_p, rgb_activation)
+
+        valid = lay.pad_valid & rv_b[:, None]
+        res = composite_rays(
+            rgb, sigma, dt_b, valid, lay.counts, bg_b, transmittance_threshold
+        )
+        per_ray_loss = jnp.mean(losses.loss_value(tgt_b, res.rgb_ray, loss_type), axis=-1)
+        per_ray_loss = jnp.where(rv_b, per_ray_loss, 0.0)
+        loss = loss + jnp.sum(per_ray_loss) / n_rays_denom
+
+        include = jax.lax.stop_gradient(res.include)
+        if rgb_activation.lower() == "exponential":
+            reg = 0.5 * 1e-4 * jnp.sum(jnp.where(include[..., None], jax.nn.relu(rgb_raw_p) ** 2, 0.0))
+            loss = loss + reg / n_rays_denom
+        loss = loss + l1_coeff * jnp.sum(jnp.where(include, jax.nn.relu(-sigma_raw_p), 0.0))
+
+        loss_sum = loss_sum + jnp.sum(per_ray_loss)
+        measured = measured + jnp.sum(res.n_included)
+        if b == 0:
+            aux["per_ray_loss"] = per_ray_loss
+            aux["rgb_ray"] = res.rgb_ray
+            aux["n_included"] = res.n_included
+
+    aux["loss_sum"] = loss_sum
+    aux["measured_batch_size"] = measured
     return loss, aux

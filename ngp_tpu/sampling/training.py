@@ -40,17 +40,26 @@ class TrainingBatch(NamedTuple):
     rays_o: jnp.ndarray  # (R, 3)
     rays_d: jnp.ndarray  # (R, 3)
     rgba: jnp.ndarray  # (R, 4) premultiplied-linear target
-    ray_valid: jnp.ndarray  # (R,) bool
-    layout: SampleLayout  # flat <-> padded (R, S) bijection
+    ray_valid: jnp.ndarray  # (R,) bool — all kept rays (either bucket)
+    layout: SampleLayout  # SHORT bucket: all R rays at width S_short
+    # LONG bucket: the n_long longest rays, row-compacted at width S_long —
+    # the composite's dense cost is rows x width, so splitting the long tail
+    # off cuts padded slots ~2.8x (None when bucketing is off)
+    layout_long: SampleLayout | None
+    sel_long: jnp.ndarray | None  # (n_long,) ray indices of the long rows
+    valid_long: jnp.ndarray | None  # (n_long,) bool
+    valid_short: jnp.ndarray  # (R,) bool — kept rays composited in SHORT
     # flat samples (capacity C), network inputs
     pos: jnp.ndarray  # (C, 3) warped
     dirs: jnp.ndarray  # (C, 3) warped
-    # per-sample step sizes in padded (R, S) layout; None when the constant
-    # min_cone_stepsize applies everywhere (cone_angle_constant == 0)
+    # per-sample step sizes in padded layout per bucket; None when the
+    # constant min_cone_stepsize applies everywhere (cone_angle_constant == 0)
     dt_pad: jnp.ndarray | None
+    dt_pad_long: jnp.ndarray | None
     # telemetry
     n_samples: jnp.ndarray  # () int32 — generated samples before drops
     max_ray_count: jnp.ndarray  # () int32 — longest ray this step (S controller)
+    count_at_split: jnp.ndarray  # () int32 — longest SHORT-bucket count (S_short controller)
 
 
 def generate_training_batch(
@@ -71,6 +80,8 @@ def generate_training_batch(
     index_offset=0,
     occ_aabb=None,
     n_window: int = 0,
+    s_short: int = 0,
+    n_long: int = 0,
 ) -> TrainingBatch:
     """`stride_denom`/`index_offset` let a data-parallel shard generate its
     slice [index_offset, index_offset + n_rays) of a `stride_denom`-ray
@@ -79,7 +90,14 @@ def generate_training_batch(
     `occ_aabb` (2, 3) + static `n_window` clip each ray's lattice march to
     its entry into the occupied-cell AABB (exact empty-space skip; the
     window must cover the box diagonal in lattice steps — the TrainingLoop
-    sizes it from the box each train() call)."""
+    sizes it from the box each train() call).
+
+    `s_short`/`n_long` enable the two-bucket composite layout: the n_long
+    longest rays go to a compacted (n_long, s_pad) bucket, everything else
+    to the (R, s_short) bucket; a ray outside the top-n_long whose count
+    exceeds s_short is dropped whole (same whole-ray drop philosophy as the
+    s_pad cap — the TrainingLoop sizes s_short from the count_at_split stat
+    so such drops are rare)."""
     n_images, h, w = images.shape[0], images.shape[1], images.shape[2]
     k_pixel, k_jitter = jax.random.split(key)
     denom = stride_denom or n_rays
@@ -130,32 +148,59 @@ def generate_training_batch(
     n_samples = jnp.sum(counts)
     max_ray_count = jnp.max(counts)
 
-    # whole-ray drops: zero samples, longer than the padded width, or
+    # bucket split: the n_long longest rays composite in a compacted
+    # (n_long, s_pad) layout, the rest in (R, s_short)
+    bucketed = 0 < s_short < s_pad and 0 < n_long < n_rays
+    if not bucketed:
+        s_short = s_pad
+
+    # whole-ray drops: zero samples, longer than the bucket width, or
     # overflowing the flat sample budget (cu:408, cu:414-416 semantics —
     # dropped rays keep their flat reservation as holes)
-    ray_valid = (counts > 0) & (counts <= s_pad)
+    if bucketed:
+        order = jnp.argsort(-counts)
+        sel_long = order[:n_long]
+        is_long = jnp.zeros((n_rays,), bool).at[sel_long].set(True)
+        count_at_split = counts[order[n_long]]
+        ray_valid = (counts > 0) & jnp.where(is_long, counts <= s_pad, counts <= s_short)
+    else:
+        sel_long = None
+        is_long = jnp.zeros((n_rays,), bool)
+        count_at_split = max_ray_count
+        ray_valid = (counts > 0) & (counts <= s_pad)
     counts_res = jnp.where(ray_valid, counts, 0)
     base = jnp.cumsum(counts_res) - counts_res
     ray_valid = ray_valid & (base + counts_res <= capacity)
-    layout = build_layout(base, counts, ray_valid, capacity, s_pad)
+    valid_short = ray_valid & ~is_long
+    layout = build_layout(base, counts, valid_short, capacity, s_short)
+    layout_long = valid_long = None
+    if bucketed:
+        valid_long = (ray_valid & is_long)[sel_long]
+        layout_long = build_layout(base[sel_long], counts[sel_long], valid_long, capacity, s_pad)
 
     # per-ray compaction: occupied window indices are increasing, so a row
     # sort of where(mask, j, n_window) left-justifies them in march order
     lat_iota = jnp.arange(n_window, dtype=jnp.int32)[None, :]
     keys = jnp.where(masks & ray_valid[:, None], lat_iota, jnp.int32(n_window))
-    lat_pad = jax.lax.sort(keys, dimension=1)[:, :s_pad]  # (R, S), k0-relative
+    lat_pad = jax.lax.sort(keys, dimension=1)[:, :s_pad]  # (R, S_long), k0-relative
 
-    # flat network inputs, all closed-form from the lattice index k0 + j
-    rid = layout.ray_ids
-    flat_lat = jnp.where(layout.flat_valid, k0[rid] + lat_pad[rid, layout.pos_in_ray], 0)
+    # flat network inputs, all closed-form from the lattice index k0 + j;
+    # a FULL-width throwaway layout supplies the flat-slot -> (ray, j) map
+    # (the composite buckets never materialize this width)
+    lay_all = build_layout(base, counts, ray_valid, capacity, s_pad) if bucketed else layout
+    rid = lay_all.ray_ids
+    flat_lat = jnp.where(lay_all.flat_valid, k0[rid] + lat_pad[rid, lay_all.pos_in_ray], 0)
     flat_t = lattice_t(cfg, startt[rid], flat_lat)
     flat_pos = o[rid] + flat_t[:, None] * d[rid]
     flat_dirs = (d[rid] + 1.0) * 0.5
 
-    dt_pad = None
+    dt_pad = dt_pad_long = None
     if cfg.cone_angle_constant != 0.0:
         t_pad = lattice_t(cfg, startt[:, None], k0[:, None] + lat_pad)
-        dt_pad = lattice_dt(cfg, t_pad)  # (R, S)
+        dts = lattice_dt(cfg, t_pad)  # (R, S_long)
+        dt_pad = dts[:, :s_short]
+        if bucketed:
+            dt_pad_long = dts[sel_long]
 
     rgba = read_rgba(images, xy, img)
     return TrainingBatch(
@@ -164,9 +209,15 @@ def generate_training_batch(
         rgba=rgba,
         ray_valid=ray_valid,
         layout=layout,
+        layout_long=layout_long,
+        sel_long=sel_long,
+        valid_long=valid_long,
+        valid_short=valid_short,
         pos=aabb.relative_pos(flat_pos),
         dirs=flat_dirs,
         dt_pad=dt_pad,
+        dt_pad_long=dt_pad_long,
         n_samples=n_samples,
         max_ray_count=max_ray_count,
+        count_at_split=count_at_split,
     )

@@ -128,7 +128,7 @@ class Trainer:
         )
 
     # ----------------------------------------------------------- train step
-    def _train_step_fn(self, n_rays: int, capacity: int, s_pad: int, n_window: int = 0):
+    def _train_step_fn(self, n_rays: int, capacity: int, s_pad: int, n_window: int = 0, s_short: int = 0, n_long: int = 0):
         cfg = self.config
         scfg = cfg.sampler
         model = self.model
@@ -154,6 +154,8 @@ class Trainer:
                 s_pad,
                 occ_aabb=state.grid.occ_aabb,
                 n_window=n_window,
+                s_short=s_short,
+                n_long=n_long,
             )
 
             # background: one random sRGB color per step when enabled
@@ -180,14 +182,27 @@ class Trainer:
                 )
                 rgb_target = jax.lax.stop_gradient(rgb_target)
                 rgb_raw, sigma_raw = model.rgbsigma_raw(params, batch.pos, batch.dirs)
+                extra = ()
+                if batch.layout_long is not None:
+                    bg_long = bg_composite[batch.sel_long] if bg_composite.ndim == 2 else bg_composite
+                    extra = (
+                        (
+                            batch.layout_long,
+                            batch.dt_pad_long if batch.dt_pad_long is not None else scfg.min_cone_stepsize,
+                            batch.valid_long,
+                            rgb_target[batch.sel_long],
+                            bg_long,
+                        ),
+                    )
                 return train_loss(
                     rgb_raw,
                     sigma_raw,
                     batch.layout,
                     batch.dt_pad if batch.dt_pad is not None else scfg.min_cone_stepsize,
-                    batch.ray_valid,
+                    batch.valid_short,
                     rgb_target,
                     bg_composite,
+                    extra_buckets=extra,
                     n_rays_denom=n_rays,
                     loss_type=self.loss_type or cfg.loss,
                     transmittance_threshold=cfg.render.transmittance_threshold,
@@ -221,10 +236,11 @@ class Trainer:
                 envmap_state = envmap_state._replace(params=env_params, ema_params=env_ema, opt_state=env_opt)
 
             stats = {
-                "loss_sum": jnp.sum(aux["per_ray_loss"]),
+                "loss_sum": aux["loss_sum"],
                 "measured_batch_size": aux["measured_batch_size"],
                 "measured_batch_size_before_compaction": batch.n_samples,
                 "max_ray_count": batch.max_ray_count,
+                "count_at_split": batch.count_at_split,
             }
             new_state = TrainState(
                 params=params,
@@ -250,19 +266,19 @@ class Trainer:
             self.density_activation,
         )
 
-    def train_call(self, n_rays: int, capacity: int, s_pad: int, n_steps: int, n_window: int = 0):
+    def train_call(self, n_rays: int, capacity: int, s_pad: int, n_steps: int, n_window: int = 0, s_short: int = 0, n_long: int = 0):
         """One jitted call running `n_steps` inner steps via lax.scan —
         collapses per-step host dispatches (expensive through a remote
         device tunnel) into one. Mirrors the reference's 16-step train()
         granularity (testbed.cu:255-263)."""
-        key = ("call", n_rays, capacity, s_pad, n_steps, n_window, self._semantic_key())
+        key = ("call", n_rays, capacity, s_pad, n_steps, n_window, s_short, n_long, self._semantic_key())
         if key not in self._cache:
             if self.mesh is not None and self.mesh.devices.size > 1:
                 from ngp_tpu.parallel.mesh import make_dp_train_call
 
-                self._cache[key] = make_dp_train_call(self, self.mesh, n_rays, capacity, s_pad, n_steps, n_window=n_window)
+                self._cache[key] = make_dp_train_call(self, self.mesh, n_rays, capacity, s_pad, n_steps, n_window=n_window, s_short=s_short, n_long=n_long)
             else:
-                step_fn = self._train_step_fn(n_rays, capacity, s_pad, n_window)
+                step_fn = self._train_step_fn(n_rays, capacity, s_pad, n_window, s_short, n_long)
 
                 def call_fn(state, images, xforms, focal_length, shift0):
                     def body(st, i):
@@ -274,22 +290,22 @@ class Trainer:
                 self._cache[key] = jax.jit(call_fn, donate_argnums=(0,))
         return self._cache[key]
 
-    def train_step(self, n_rays: int, capacity: int | None = None, s_pad: int = 1024, n_window: int = 0):
+    def train_step(self, n_rays: int, capacity: int | None = None, s_pad: int = 1024, n_window: int = 0, s_short: int = 0, n_long: int = 0):
         """Jitted step for a given (static, power-of-two) ray count.
 
         With a mesh set, returns the shard_map data-parallel step (rays
         sharded over the "data" axis, grads psum'ed; parallel/mesh.py).
         """
         capacity = capacity or self.sample_capacity
-        key = ("step", n_rays, capacity, s_pad, n_window, self._semantic_key())
+        key = ("step", n_rays, capacity, s_pad, n_window, s_short, n_long, self._semantic_key())
         if key not in self._cache:
             if self.mesh is not None and self.mesh.devices.size > 1:
                 from ngp_tpu.parallel.mesh import make_dp_train_step
 
-                self._cache[key] = make_dp_train_step(self, self.mesh, n_rays, capacity, s_pad, n_window=n_window)
+                self._cache[key] = make_dp_train_step(self, self.mesh, n_rays, capacity, s_pad, n_window=n_window, s_short=s_short, n_long=n_long)
             else:
                 self._cache[key] = jax.jit(
-                    self._train_step_fn(n_rays, capacity, s_pad, n_window), static_argnames=(), donate_argnums=(0,)
+                    self._train_step_fn(n_rays, capacity, s_pad, n_window, s_short, n_long), static_argnames=(), donate_argnums=(0,)
                 )
         return self._cache[key]
 
@@ -371,6 +387,10 @@ class TrainingLoop:
         # from the occupied-cell AABB after each grid update
         self.n_window = 0
         self._last_shape = None
+        # two-bucket composite controller: the n_rays/8 longest rays go to
+        # the wide bucket; s_short covers the rest with 25% headroom over
+        # the observed longest short-bucket count (count_at_split stat)
+        self.s_short = 0
 
     @staticmethod
     def _quantize_n_rays(n: int) -> int:
@@ -413,7 +433,12 @@ class TrainingLoop:
         ds = self.dataset
         if self.i_step == 0:
             self.n_rays_total = 0
-        shape = (self.n_rays_per_batch, self.capacity, self.s_pad, self.n_window, n_training_steps)
+        # a quarter of the rays: on occupancy-clipped batches roughly half
+        # the rays are empty, so R/4 comfortably covers the long tail and
+        # lets s_short drop to the ~32-sample floor
+        n_long = max(self.n_rays_per_batch // 4, 1)
+        s_short = self.s_short if 0 < self.s_short < self.s_pad else 0
+        shape = (self.n_rays_per_batch, self.capacity, self.s_pad, self.n_window, s_short, n_long, n_training_steps)
         use_fused = shape == self._last_shape
         self._last_shape = shape
         if use_fused:
@@ -422,7 +447,7 @@ class TrainingLoop:
             # testbed.cu:255-263). Gated on the same shape twice in a row so
             # transient controller shapes don't pay the scan compile.
             call = self.trainer.train_call(
-                self.n_rays_per_batch, self.capacity, self.s_pad, n_training_steps, self.n_window
+                self.n_rays_per_batch, self.capacity, self.s_pad, n_training_steps, self.n_window, s_short, n_long
             )
             shift = self.n_rays_total
             self.n_rays_total += self.n_rays_per_batch * n_training_steps
@@ -430,7 +455,7 @@ class TrainingLoop:
             self.i_step += n_training_steps
             stats = jax.device_get(stats)  # single D->H sync (testbed.cu:266-289)
         else:
-            step_fn = self.trainer.train_step(self.n_rays_per_batch, self.capacity, self.s_pad, self.n_window)
+            step_fn = self.trainer.train_step(self.n_rays_per_batch, self.capacity, self.s_pad, self.n_window, s_short, n_long)
             all_stats = []
             for _ in range(n_training_steps):
                 shift = self.n_rays_total
@@ -468,4 +493,9 @@ class TrainingLoop:
         # 25% headroom (stat is pre-drop, so an undersized S self-corrects)
         max_count = float(np.max(stats["max_ray_count"]))
         self.s_pad = self._quantize_s_pad(int(max_count * 1.25) + 1, self.n_rays_per_batch)
+        # short-bucket width: cover the longest ray NOT in the top bucket with
+        # headroom (pow2-quantized; rays drifting past it are top-1/8 next
+        # call or dropped whole, exactly the s_pad philosophy)
+        split = float(np.max(stats.get("count_at_split", stats["max_ray_count"])))
+        self.s_short = min(1 << int(np.ceil(np.log2(max(split * 1.25, 32)))), self.s_pad)
         return state

@@ -145,3 +145,91 @@ def test_composite_forward_matches_sequential():
         np.testing.assert_allclose(np.asarray(res.rgb_ray)[r], out, rtol=1e-5, atol=1e-6)
         assert int(res.n_included[r]) == included
         assert bool(res.exhausted[r]) == (included == counts[r])
+
+
+def test_bucketed_train_loss_matches_monolithic():
+    """Two-bucket composite (top-n_long rays wide, rest narrow) == the
+    single-layout composite: same loss, same gradients, when no ray is
+    bucket-dropped."""
+    import jax
+
+    from ngp_tpu.data.synthetic import write_synthetic_dataset
+    from ngp_tpu.data.nerf_synthetic import load_nerf_synthetic
+    from ngp_tpu.models.ngp import NGPModel, apply_density_activation, apply_rgb_activation
+    from ngp_tpu.sampling.lattice import n_lattice_points
+    from ngp_tpu.sampling.training import generate_training_batch
+    from ngp_tpu.utils.aabb import AABB
+    from ngp_tpu.utils.config import NGPConfig
+    import tempfile
+    from pathlib import Path
+
+    cfg = NGPConfig.from_json(
+        {
+            "samlper": {"grid_size": 16, "maximum_marching_steps": 128},
+            "network": {
+                "encoding": {"n_levels": 4, "log2_hashmap_size": 12, "base_resolution": 8, "desired_resolution": 64},
+                "network": {"n_neurons": 64, "n_hidden_layers": 1},
+                "dir_encoding": {"degree": 4},
+                "rgb_network": {"n_neurons": 64, "n_hidden_layers": 2},
+            },
+        }
+    )
+    scfg = cfg.sampler
+    aabb = AABB.scene(1)
+    model = NGPModel.create(cfg.network)
+    params = model.init(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(3)
+    occ = jnp.asarray(rng.uniform(size=(scfg.n_cascades, 16, 16, 16)) < 0.5)
+    n_lat = n_lattice_points(scfg)
+    with tempfile.TemporaryDirectory() as td:
+        write_synthetic_dataset(Path(td), n_train=2, n_test=1, width=24, height=24)
+        ds = load_nerf_synthetic(Path(td) / "transforms_train.json")
+        kw = dict(
+            images=ds.images, xforms=ds.xforms, focal_length=jnp.asarray(ds.focal_length),
+            principal_point=(0.5, 0.5), occupancy=occ, key=jax.random.PRNGKey(5),
+            n_rays=128, n_rays_shift=jnp.uint32(0), capacity=8192, n_lattice=n_lat, s_pad=128,
+        )
+        mono = generate_training_batch(scfg, aabb, **kw)
+        # s_short = s_pad so bucketing introduces NO extra drops
+        buck = generate_training_batch(scfg, aabb, **kw, s_short=64, n_long=16)
+    # if a short-bucket ray exceeded s_short the comparison is invalid; the
+    # sorted top-16 must cover all counts > 64 here
+    cm = np.asarray(mono.layout.counts)
+    assert (np.sort(cm)[:-16] <= 64).all(), "test scene produced too many long rays"
+    np.testing.assert_array_equal(np.asarray(mono.ray_valid), np.asarray(buck.ray_valid))
+
+    tgt = jnp.asarray(rng.uniform(size=(128, 3)), jnp.float32)
+
+    def loss_of(p, batch, use_buckets):
+        rgb_raw, sigma_raw = model.rgbsigma_raw(p, batch.pos, batch.dirs)
+        extra = ()
+        rv = batch.ray_valid
+        if use_buckets:
+            rv = batch.valid_short
+            extra = ((batch.layout_long, scfg.min_cone_stepsize, batch.valid_long, tgt[batch.sel_long], jnp.zeros(3)),)
+        loss, aux = train_loss(
+            rgb_raw, sigma_raw, batch.layout, scfg.min_cone_stepsize, rv, tgt, jnp.zeros(3),
+            extra_buckets=extra, n_rays_denom=128, loss_type="SmoothL1",
+            transmittance_threshold=1e-4, rgb_activation="Logistic",
+            density_activation="Exponential", mean_density=jnp.float32(1.0),
+            min_optical_thickness=0.01,
+            apply_rgb_activation=apply_rgb_activation,
+            apply_density_activation=apply_density_activation,
+        )
+        return loss, aux
+
+    (l0, a0), g0 = jax.value_and_grad(lambda p: loss_of(p, mono, False), has_aux=True)(params)
+    (l1, a1), g1 = jax.value_and_grad(lambda p: loss_of(p, buck, True), has_aux=True)(params)
+    np.testing.assert_allclose(float(l0), float(l1), rtol=1e-5)
+    assert int(a0["measured_batch_size"]) == int(a1["measured_batch_size"])
+    np.testing.assert_allclose(float(a0["loss_sum"]), float(a1["loss_sum"]), rtol=1e-5)
+    # hash-table grads accumulate in bf16 scatters whose grouping differs
+    # between bucketings -> bf16-level tolerance there (MLP grads are fp32)
+    np.testing.assert_allclose(
+        np.asarray(g0["hash_table"]), np.asarray(g1["hash_table"]), rtol=0.02, atol=0.02
+    )
+    # MLP grads see ~1-ulp cotangent differences from width-dependent cumsum
+    # splits amplified through bf16 matmuls -> absolute tolerance
+    for k in ("density_mlp", "rgb_mlp"):
+        for x, y in zip(g0[k], g1[k], strict=True):
+            np.testing.assert_allclose(np.asarray(x), np.asarray(y), rtol=0.02, atol=2e-3)
