@@ -391,6 +391,7 @@ class TrainingLoop:
         # the wide bucket; s_short covers the rest with 25% headroom over
         # the observed longest short-bucket count (count_at_split stat)
         self.s_short = 0
+        self._s_short_shrink_votes = 0
 
     @staticmethod
     def _quantize_n_rays(n: int) -> int:
@@ -494,8 +495,20 @@ class TrainingLoop:
         max_count = float(np.max(stats["max_ray_count"]))
         self.s_pad = self._quantize_s_pad(int(max_count * 1.25) + 1, self.n_rays_per_batch)
         # short-bucket width: cover the longest ray NOT in the top bucket with
-        # headroom (pow2-quantized; rays drifting past it are top-1/8 next
-        # call or dropped whole, exactly the s_pad philosophy)
+        # headroom. Grow immediately (undersizing drops rays); shrink only
+        # after two consecutive half-size votes — without hysteresis the
+        # width flaps between pow2 values and the shape-stability gate never
+        # lets the fused scan engage.
         split = float(np.max(stats.get("count_at_split", stats["max_ray_count"])))
-        self.s_short = min(1 << int(np.ceil(np.log2(max(split * 1.25, 32)))), self.s_pad)
+        need = min(1 << int(np.ceil(np.log2(max(split * 1.25, 32)))), self.s_pad)
+        if self.s_short == 0 or need > self.s_short or self.s_short > self.s_pad:
+            self.s_short = need
+            self._s_short_shrink_votes = 0
+        elif need <= self.s_short // 2:
+            self._s_short_shrink_votes += 1
+            if self._s_short_shrink_votes >= 2:
+                self.s_short = self.s_short // 2
+                self._s_short_shrink_votes = 0
+        else:
+            self._s_short_shrink_votes = 0
         return state
