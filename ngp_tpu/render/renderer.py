@@ -275,12 +275,14 @@ class Renderer:
     def _occ_box(self, occupancy, occ_aabb):
         if occ_aabb is not None:
             return np.asarray(occ_aabb)
-        key = id(occupancy)
-        if self._box_cache.get("key") != key:
+        # cache holds a strong reference to the occupancy array and compares
+        # identity against it — unlike a bare id() key, the live reference
+        # means a newly allocated grid can never alias a stale cache entry
+        if self._box_cache.get("arr") is not occupancy:
             from ngp_tpu.grid.occupancy import occupied_aabb
 
             self._box_cache = {
-                "key": key,
+                "arr": occupancy,
                 "box": np.asarray(occupied_aabb(self.config.sampler, occupancy)),
             }
         return self._box_cache["box"]
@@ -348,10 +350,15 @@ class Renderer:
             # the host k0 keeps one lattice step of slack
             sb = AABB.scene(scfg.aabb_scale)
             s_lo = np.maximum(np.max(np.minimum((sb.lo - o) / dd, (sb.hi - o) / dd), axis=-1), 0.05)
-            k0 = np.maximum(np.floor((occ_lo - s_lo) / dt) - 1, 0).astype(np.int32)
-            span = np.minimum(np.ceil((occ_hi - np.maximum(occ_lo, s_lo)) / dt) + 3, n_lat - k0)
+            # near-axis-parallel rays produce huge nudged slab ts; clip the
+            # floats into [0, n_lat] BEFORE the int cast so degenerate rays
+            # (filtered by `hit` below) can't overflow int32
+            with np.errstate(invalid="ignore"):
+                k0 = np.clip(np.floor((occ_lo - s_lo) / dt) - 1, 0, n_lat).astype(np.int32)
+                span = np.clip(
+                    np.ceil((occ_hi - np.maximum(occ_lo, s_lo)) / dt) + 3, 0, n_lat - k0
+                )
             hit = (occ_hi >= np.maximum(occ_lo, s_lo)) & (span > 0)
-            k0 = np.minimum(k0, n_lat)
 
         out = np.zeros((n_rays, 4), np.float32)
         env_only = envmap is not None
@@ -381,7 +388,13 @@ class Renderer:
                 k_t[: sel.size] = k0[sel]
                 id_t[: sel.size] = sel
                 v_t[: sel.size] = True
-                rounds_max = int(np.ceil(tile * n_window / (_BUDGET))) + tile // (_BUDGET // _D) + 4
+                # worst case: every round advances min(tile, _BUDGET//_D) rays
+                # by _D samples, so a tile smaller than the per-round ray
+                # budget still needs ~n_window/_D rounds for non-terminating
+                # rays (the loop exits early once nothing is alive)
+                rounds_max = (
+                    int(np.ceil(tile * n_window / _BUDGET)) + int(np.ceil(n_window / _D)) + 4
+                )
                 n_dev = self.mesh.devices.size if self.mesh is not None else 1
                 statics = dict(
                     render_mode=render_mode,

@@ -146,7 +146,12 @@ def generate_training_batch(
     masks = masks & hits[:, None]
     counts = jnp.where(hits, counts, 0)
     n_samples = jnp.sum(counts)
-    max_ray_count = jnp.max(counts)
+    max_ray_count = jnp.max(counts)  # pre-truncation, so the S controller sees the true tail
+    # when the memory cap pins s_pad below the longest ray, TRUNCATE to the
+    # first s_pad samples instead of dropping the ray whole — the reference
+    # likewise truncates the march at n_max_steps (occupancy_sampler.cu:408)
+    # rather than removing supervision for long-span pixels
+    counts = jnp.minimum(counts, s_pad)
 
     # bucket split: the n_long longest rays composite in a compacted
     # (n_long, s_pad) layout, the rest in (R, s_short)

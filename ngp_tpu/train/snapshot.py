@@ -178,6 +178,14 @@ def unpack_reference_params(flat, spec, net_cfg):
 
 def save_reference_snapshot(path, config_doc: dict, *, params, spec, net_cfg, density_grid, scene_scale, scene_offset):
     """Write a tcnn-layout snapshot (testbed.cu:127-141 schema)."""
+    variant = getattr(spec, "variant", "tcnn")
+    if variant != "tcnn":
+        # table contents are a function of the hash: exporting an oadd/xadd
+        # table in the reference layout would load fine but render garbage
+        raise ValueError(
+            f"reference-snapshot export requires hash variant 'tcnn', got {variant!r}; "
+            "train with encoding otype variant 'tcnn' to produce interchangeable checkpoints"
+        )
     flat = pack_reference_params(params, spec, net_cfg)
     doc = dict(config_doc)
     doc["snapshot"] = {
