@@ -119,19 +119,22 @@ def _make_dp_step_fn(trainer: Trainer, mesh: Mesh, n_rays_global: int, capacity:
         bg_linear = srgb_to_linear(bg_srgb)
         train_envmap = cfg.envmap.train and state.envmap is not None
 
-        def loss_fn(params, envmap_params):
-            if train_envmap:
-                # per-chip rays see the replicated envmap; grads psum below
-                from ngp_tpu.render.envmap import read_envmap
+        # background/target are params-independent; the envmap enters the
+        # composite as a constant — its gradient is the reference's dedicated
+        # deposit path below (ray_marcher.cu:190-212), psum'ed over chips
+        if train_envmap:
+            from ngp_tpu.render.envmap import read_envmap
 
-                env = read_envmap(envmap_params, batch.rays_d)
-                bg_per_ray = env[:, :3] + bg_linear * (1.0 - env[:, 3:4])
-            else:
-                bg_per_ray = bg_linear
-            rgb_target, bg_composite = compute_rgb_target(
-                batch.rgba, bg_per_ray, trainer.color_space, cfg.render.train_in_linear_color
-            )
-            rgb_target = jax.lax.stop_gradient(rgb_target)
+            env = read_envmap(state.envmap.params, batch.rays_d)
+            bg_per_ray = env[:, :3] + bg_linear * (1.0 - env[:, 3:4])
+        else:
+            bg_per_ray = bg_linear
+        rgb_target, bg_composite = compute_rgb_target(
+            batch.rgba, bg_per_ray, trainer.color_space, cfg.render.train_in_linear_color
+        )
+        rgb_target = jax.lax.stop_gradient(rgb_target)
+
+        def loss_fn(params):
             rgb_raw, sigma_raw = model.rgbsigma_raw(params, batch.pos, batch.dirs)
             extra = ()
             if batch.layout_long is not None:
@@ -165,10 +168,7 @@ def _make_dp_step_fn(trainer: Trainer, mesh: Mesh, n_rays_global: int, capacity:
                 apply_density_activation=apply_density_activation,
             )
 
-        env_params_in = state.envmap.params if train_envmap else jnp.zeros((1, 1, 4))
-        (loss, aux), (grads, env_grads) = jax.value_and_grad(loss_fn, argnums=(0, 1), has_aux=True)(
-            state.params, env_params_in
-        )
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
         grads = jax.lax.psum(grads, axes)  # ICI within a slice, DCN across
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
@@ -176,14 +176,33 @@ def _make_dp_step_fn(trainer: Trainer, mesh: Mesh, n_rays_global: int, capacity:
 
         envmap_state = state.envmap
         if train_envmap:
-            from ngp_tpu.render.envmap import envmap_optimizer
+            # local deposit over this chip's rays with the GLOBAL ray-count
+            # denominator, psum'ed -> exact global mean-per-ray gradient;
+            # accumulated per step, applied once per call (envmap_apply)
+            from ngp_tpu.render.envmap import envmap_accumulate, envmap_gradient
 
-            env_grads = jax.lax.psum(env_grads, axes)
-            env_tx = envmap_optimizer(cfg.envmap)
-            env_updates, env_opt = env_tx.update(env_grads, envmap_state.opt_state, envmap_state.params)
-            env_params = optax.apply_updates(envmap_state.params, env_updates)
-            env_ema = ema_update(envmap_state.ema_params, env_params, cfg.envmap.optimizer.ema_decay)
-            envmap_state = envmap_state._replace(params=env_params, ema_params=env_ema, opt_state=env_opt)
+            rgb_ray, trans_end, exhausted = aux["bucket_rays"][0]
+            rv = batch.valid_short
+            if batch.layout_long is not None:
+                rgb1, t1, e1 = aux["bucket_rays"][1]
+                rgb_ray = rgb_ray.at[batch.sel_long].set(rgb1)
+                trans_end = trans_end.at[batch.sel_long].set(t1)
+                exhausted = exhausted.at[batch.sel_long].set(e1)
+                rv = rv | jnp.zeros_like(rv).at[batch.sel_long].set(batch.valid_long)
+            g_env = envmap_gradient(
+                state.envmap.params,
+                batch.rays_d,
+                rgb_ray,
+                trans_end,
+                exhausted,
+                rv,
+                rgb_target,
+                bg_composite,
+                envmap_loss_type=cfg.envmap.loss or cfg.loss,
+                train_in_linear_color=cfg.render.train_in_linear_color,
+                n_rays_denom=n_rays_global,
+            )
+            envmap_state = envmap_accumulate(envmap_state, jax.lax.psum(g_env, axes))
 
         stats = {
             "loss_sum": jax.lax.psum(aux["loss_sum"], axes),

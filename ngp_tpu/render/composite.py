@@ -152,7 +152,15 @@ def train_loss(
             aux["per_ray_loss"] = per_ray_loss
             aux["rgb_ray"] = res.rgb_ray
             aux["n_included"] = res.n_included
+        # per-bucket composite outputs for the envmap gradient path
+        # (ray_marcher.cu:190-212 needs rgb_ray, the final transmittance and
+        # the did-not-early-stop flag per ray); gradients don't flow through
+        # aux, but stop_gradient makes that explicit
+        aux.setdefault("bucket_rays", []).append(
+            jax.lax.stop_gradient((res.rgb_ray, res.trans_end, res.exhausted))
+        )
 
+    aux["bucket_rays"] = tuple(aux["bucket_rays"])
     aux["loss_sum"] = loss_sum
     aux["measured_batch_size"] = measured
     return loss, aux

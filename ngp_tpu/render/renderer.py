@@ -322,7 +322,10 @@ class Renderer:
             axis=-1,
         )
         d = d_cam @ cam[:, :3].T
-        d /= np.linalg.norm(d, axis=-1, keepdims=True)
+        # degenerate camera rows (e.g. an unset camera matrix) produce
+        # zero-length directions; keep them finite — the slab test below
+        # classifies them as misses instead of NaN-ing the framebuffer
+        d /= np.maximum(np.linalg.norm(d, axis=-1, keepdims=True), 1e-12)
         o = np.broadcast_to(cam[:, 3], d.shape).copy()
         n_rays = o.shape[0]
 

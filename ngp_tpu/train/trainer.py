@@ -167,20 +167,25 @@ class Trainer:
             bg_linear = srgb_to_linear(bg_srgb)
             train_envmap = cfg.envmap.train and state.envmap is not None
 
-            def loss_fn(params, envmap_params):
-                if train_envmap:
-                    # composite the plain background behind the envmap
-                    # (ray_marcher.cu:96-102); targets never carry gradients
-                    from ngp_tpu.render.envmap import read_envmap
+            # background/target are params-independent; computed once outside
+            # loss_fn. The envmap enters the composite as a CONSTANT here —
+            # its gradient is the reference's dedicated deposit path below
+            # (ray_marcher.cu:190-212), not autodiff of the training loss.
+            if train_envmap:
+                # composite the plain background behind the envmap
+                # (ray_marcher.cu:96-102)
+                from ngp_tpu.render.envmap import read_envmap
 
-                    env = read_envmap(envmap_params, batch.rays_d)
-                    bg_per_ray = env[:, :3] + bg_linear * (1.0 - env[:, 3:4])
-                else:
-                    bg_per_ray = bg_linear
-                rgb_target, bg_composite = compute_rgb_target(
-                    batch.rgba, bg_per_ray, self.color_space, cfg.render.train_in_linear_color
-                )
-                rgb_target = jax.lax.stop_gradient(rgb_target)
+                env = read_envmap(state.envmap.params, batch.rays_d)
+                bg_per_ray = env[:, :3] + bg_linear * (1.0 - env[:, 3:4])
+            else:
+                bg_per_ray = bg_linear
+            rgb_target, bg_composite = compute_rgb_target(
+                batch.rgba, bg_per_ray, self.color_space, cfg.render.train_in_linear_color
+            )
+            rgb_target = jax.lax.stop_gradient(rgb_target)
+
+            def loss_fn(params):
                 rgb_raw, sigma_raw = model.rgbsigma_raw(params, batch.pos, batch.dirs)
                 extra = ()
                 if batch.layout_long is not None:
@@ -214,26 +219,41 @@ class Trainer:
                     apply_density_activation=apply_density_activation,
                 )
 
-            env_params_in = state.envmap.params if train_envmap else jnp.zeros((1, 1, 4))
-            (loss, aux), (grads, env_grads) = jax.value_and_grad(loss_fn, argnums=(0, 1), has_aux=True)(
-                state.params, env_params_in
-            )
+            (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
             updates, opt_state = tx.update(grads, state.opt_state, state.params)
             params = optax.apply_updates(state.params, updates)
             ema_params = ema_update(state.ema_params, params, cfg.optimizer.ema_decay)
 
             envmap_state = state.envmap
             if train_envmap:
-                # divergence note: the reference accumulates envmap grads over
-                # the 16-step train() call and steps its trainer once
-                # (testbed.cu:296-298); we step every optimizer step.
-                from ngp_tpu.render.envmap import envmap_optimizer
+                # exact deposit semantics (ray_marcher.cu:190-212): gradients
+                # accumulate across the call's inner steps; the envmap
+                # optimizer steps once per train() call via envmap_apply
+                # (testbed.cu:295-298, applied by the TrainingLoop)
+                from ngp_tpu.render.envmap import envmap_accumulate, envmap_gradient
 
-                env_tx = envmap_optimizer(cfg.envmap)
-                env_updates, env_opt = env_tx.update(env_grads, envmap_state.opt_state, envmap_state.params)
-                env_params = optax.apply_updates(envmap_state.params, env_updates)
-                env_ema = ema_update(envmap_state.ema_params, env_params, cfg.envmap.optimizer.ema_decay)
-                envmap_state = envmap_state._replace(params=env_params, ema_params=env_ema, opt_state=env_opt)
+                rgb_ray, trans_end, exhausted = aux["bucket_rays"][0]
+                rv = batch.valid_short
+                if batch.layout_long is not None:
+                    rgb1, t1, e1 = aux["bucket_rays"][1]
+                    rgb_ray = rgb_ray.at[batch.sel_long].set(rgb1)
+                    trans_end = trans_end.at[batch.sel_long].set(t1)
+                    exhausted = exhausted.at[batch.sel_long].set(e1)
+                    rv = rv | jnp.zeros_like(rv).at[batch.sel_long].set(batch.valid_long)
+                g_env = envmap_gradient(
+                    state.envmap.params,
+                    batch.rays_d,
+                    rgb_ray,
+                    trans_end,
+                    exhausted,
+                    rv,
+                    rgb_target,
+                    bg_composite,
+                    envmap_loss_type=cfg.envmap.loss or (self.loss_type or cfg.loss),
+                    train_in_linear_color=cfg.render.train_in_linear_color,
+                    n_rays_denom=n_rays,
+                )
+                envmap_state = envmap_accumulate(envmap_state, g_env)
 
             stats = {
                 "loss_sum": aux["loss_sum"],
@@ -307,6 +327,51 @@ class Trainer:
                 self._cache[key] = jax.jit(
                     self._train_step_fn(n_rays, capacity, s_pad, n_window, s_short, n_long), static_argnames=(), donate_argnums=(0,)
                 )
+        return self._cache[key]
+
+    # ---------------------------------------------------------- envmap apply
+    def envmap_apply(self):
+        """Jitted once-per-train()-call envmap optimizer step: consumes the
+        accumulated per-step gradients (testbed.cu:295-298)."""
+        key = ("envmap_apply",)
+        if key not in self._cache:
+            from ngp_tpu.render.envmap import envmap_apply
+
+            ecfg = self.config.envmap
+
+            def apply_fn(state: TrainState) -> TrainState:
+                return state._replace(envmap=envmap_apply(ecfg, state.envmap))
+
+            self._cache[key] = jax.jit(apply_fn, donate_argnums=(0,))
+        return self._cache[key]
+
+    # -------------------------------------------------------------- probing
+    def probe_batch(self, n_probe: int, n_window: int):
+        """Batch-gen-only probe on the FRESH grid: returns (n_samples,
+        max_ray_count) for `n_probe` rays. The TrainingLoop uses it to seed
+        the ray-count/width controllers from the CURRENT grid instead of
+        last call's lagging estimate (the reference sizes from the previous
+        measured batch, testbed.cu:292-293 — exact for its static grid
+        cadence, one call late during grid evolution)."""
+        key = ("probe", n_probe, n_window)
+        if key not in self._cache:
+            scfg = self.config.sampler
+            aabb = self.aabb
+            n_lattice = n_lattice_points(scfg)
+
+            def probe_fn(state: TrainState, images, xforms, focal_length, n_rays_shift):
+                k_batch, _ = jax.random.split(state.rng)  # peek; rng not consumed
+                batch = generate_training_batch(
+                    scfg, aabb, images, xforms, focal_length, (0.5, 0.5),
+                    state.grid.occupancy, k_batch, n_probe, n_rays_shift,
+                    n_probe, n_lattice, 32,
+                    occ_aabb=state.grid.occ_aabb, n_window=n_window,
+                )
+                # both stats are pre-truncation/pre-drop, so the tiny
+                # capacity/s_pad above don't bias them
+                return batch.n_samples, batch.max_ray_count
+
+            self._cache[key] = jax.jit(probe_fn)
         return self._cache[key]
 
     # ----------------------------------------------------------- grid update
@@ -392,6 +457,30 @@ class TrainingLoop:
         # the observed longest short-bucket count (count_at_split stat)
         self.s_short = 0
         self._s_short_shrink_votes = 0
+        # per-ray sample estimate driving the controllers; None triggers a
+        # fresh-grid probe at the next call (also re-probed on >25% drift)
+        self._per_ray_est = None
+        self._probe_next = False
+
+    # ------------------------------------------------- controller persistence
+    def controller_state(self) -> dict:
+        """Snapshot-able controller state: restoring it skips the warm-up
+        transient entirely (a resume reaches steady state immediately)."""
+        return {
+            "n_rays_per_batch": int(self.n_rays_per_batch),
+            "s_pad": int(self.s_pad),
+            "s_short": int(self.s_short),
+            "per_ray_est": float(self._per_ray_est) if self._per_ray_est else 0.0,
+        }
+
+    def restore_controller(self, d: dict):
+        if not d:
+            return
+        self.n_rays_per_batch = self._quantize_n_rays(int(d.get("n_rays_per_batch", self.n_rays_per_batch)))
+        self.s_pad = self._quantize_s_pad(int(d.get("s_pad", self.s_pad)), self.n_rays_per_batch)
+        self.s_short = min(int(d.get("s_short", 0)), self.s_pad)
+        per_ray = float(d.get("per_ray_est", 0.0))
+        self._per_ray_est = per_ray if per_ray > 0 else None
 
     @staticmethod
     def _quantize_n_rays(n: int) -> int:
@@ -428,10 +517,31 @@ class TrainingLoop:
         need = int(np.ceil(diag / dt)) + 2
         # pow2 chunks so the jit shape set stays tiny as the box shrinks
         self.n_window = min(n_lat, max(128, 128 << int(np.ceil(np.log2(max(need / 128, 1))))))
+
+        # fresh-grid probe: size n_rays/s_pad from the grid THIS call will
+        # march (first call, or after >25% per-ray drift — grid evolution
+        # otherwise makes the previous-call estimate lag one call behind and
+        # the measured batch transiently collapses)
+        ds = self.dataset
+        if self._per_ray_est is None or self._probe_next:
+            n_probe = 1 << 10
+            pf = self.trainer.probe_batch(n_probe, self.n_window)
+            ns, mrc = jax.device_get(
+                pf(state, ds.images, ds.xforms, jnp.asarray(ds.focal_length), jnp.uint32(self.n_rays_total))
+            )
+            per_ray = float(ns) / n_probe
+            if per_ray > 0:
+                target = self.trainer.target_batch_size
+                lo = self._quantize_n_rays(max(int(target / per_ray), 1))
+                cand = {lo, min(lo * 2, 1 << 18), max(lo // 2, 1 << 8)}
+                self.n_rays_per_batch = min(cand, key=lambda n: abs(n * per_ray - target))
+                self._per_ray_est = per_ray
+                self.s_pad = self._quantize_s_pad(int(float(mrc) * 1.25) + 1, self.n_rays_per_batch)
+                self.s_short = min(self.s_short, self.s_pad) if self.s_short else 0
+            self._probe_next = False
         self.training_prep_ms = (time.perf_counter() - t0) * 1e3
 
         t0 = time.perf_counter()
-        ds = self.dataset
         if self.i_step == 0:
             self.n_rays_total = 0
         # a quarter of the rays: on occupancy-clipped batches roughly half
@@ -466,6 +576,10 @@ class TrainingLoop:
                 self.i_step += 1
             # single D->H sync for telemetry (testbed.cu:266-289)
             stats = jax.tree_util.tree_map(lambda *xs: np.stack(xs), *jax.device_get(all_stats))
+        if self.trainer.config.envmap.train and state.envmap is not None:
+            # envmap optimizer steps once per train() call on the mean of the
+            # accumulated per-step gradients (testbed.cu:295-298)
+            state = self.trainer.envmap_apply()(state)
         self.training_ms = (time.perf_counter() - t0) * 1e3
 
         measured = float(np.mean(stats["measured_batch_size"]))
@@ -486,6 +600,11 @@ class TrainingLoop:
         # PRE-drop sample counts so whole-ray drops don't skew the estimate.
         old_n_rays = self.n_rays_per_batch
         per_ray = measured_bc / old_n_rays
+        # >25% drift vs the estimate this call was sized with -> the grid is
+        # still evolving; re-probe on the fresh grid next call
+        if self._per_ray_est and abs(per_ray - self._per_ray_est) > 0.25 * self._per_ray_est:
+            self._probe_next = True
+        self._per_ray_est = per_ray
         lo = self._quantize_n_rays(max(int(target / per_ray), 1))
         candidates = {lo, min(lo * 2, 1 << 18), max(lo // 2, 1 << 8)}
         self.n_rays_per_batch = min(candidates, key=lambda n: abs(n * per_ray - target))
