@@ -126,6 +126,10 @@ class Testbed:
         )
         self._state = self._state._replace(grid=self._state.grid._replace(density=density))
         self._loop = TrainingLoop(self._trainer, ds)
+        if getattr(self, "_pending_controller", None):
+            # snapshot-carried controller state: resume at steady-state shapes
+            self._loop.restore_controller(self._pending_controller)
+            self._pending_controller = None
 
     def save_snapshot(self, snapshot_path, serialize_optimizer: bool = False, reference_format: bool = False):
         st = self._state
@@ -156,6 +160,7 @@ class Testbed:
             scene_scale=self.scene_scale,
             scene_offset=self.scene_offset,
             opt_state=st.opt_state if serialize_optimizer else None,
+            controller=self._loop.controller_state() if self._loop is not None else None,
         )
 
     def load_snapshot(self, snapshot_path):
@@ -207,6 +212,8 @@ class Testbed:
         # i_step restarts at 0, like the reference (testbed.cu:92 — the config
         # reload resets the counter even on resume)
         self.training_buffer = TrainingBufferView()
+        # applied to the TrainingLoop created by load_training_data
+        self._pending_controller = snap.get("controller")
 
     # -------------------------------------------------------------- training
     def train(self, n_training_steps: int = 16, target_batch_size: int = 1 << 18):

@@ -49,6 +49,7 @@ def save_snapshot(
     scene_scale: float,
     scene_offset,
     opt_state=None,
+    controller=None,
 ):
     doc = dict(config_doc)
     snap = {
@@ -63,6 +64,10 @@ def save_snapshot(
     if opt_state is not None:
         flat, treedef = jax.tree_util.tree_flatten(opt_state)
         snap["opt_state_leaves"] = [_encode_tree(x) for x in flat]
+    if controller:
+        # host controller state (n_rays/s_pad/s_short/per-ray estimate):
+        # restoring it skips the warm-up transient on resume
+        snap["controller"] = {k: v for k, v in controller.items()}
     doc["snapshot"] = snap
     with open(path, "wb") as f:
         f.write(msgpack.packb(doc, use_bin_type=True))
@@ -86,6 +91,8 @@ def load_snapshot(path):
     }
     if "opt_state_leaves" in snap_raw:
         snap["opt_state_leaves"] = [_decode_tree(x) for x in snap_raw["opt_state_leaves"]]
+    if "controller" in snap_raw:
+        snap["controller"] = dict(snap_raw["controller"])
     return doc, snap
 
 

@@ -56,6 +56,39 @@ def test_resume_with_optimizer_state(tmp_path):
     )
 
 
+def test_controller_state_persists_across_resume(tmp_path):
+    """The host controller (n_rays/s_pad/s_short/per-ray estimate) rides the
+    snapshot: a resumed loop starts at the saved steady-state shapes instead
+    of re-paying the 2^12-ray warm-up transient."""
+    train_json, _ = write_synthetic_dataset(tmp_path, n_train=4, n_test=1, width=32, height=32)
+
+    tb = Testbed()
+    tb.load_model_config_dict(CFG)
+    tb._trainer.sample_capacity = 1 << 13
+    tb.load_training_data(train_json)
+    for _ in range(4):
+        tb.train(16, 1 << 12)
+    saved = tb._loop.controller_state()
+    assert saved["per_ray_est"] > 0
+    snap = tmp_path / "ctrl.msgpack"
+    tb.save_snapshot(str(snap))
+
+    tb2 = Testbed()
+    tb2.load_snapshot(str(snap))
+    tb2._trainer.sample_capacity = 1 << 13
+    tb2.load_training_data(train_json)
+    got = tb2._loop.controller_state()
+    assert got["n_rays_per_batch"] == saved["n_rays_per_batch"]
+    assert got["s_pad"] == saved["s_pad"]
+    assert got["s_short"] == saved["s_short"]
+    # and the restored estimate suppresses the fresh-grid probe: the first
+    # resumed call enters at the saved shapes (asserted above) and trains
+    # normally; afterwards the controller is free to track the grid again
+    assert tb2._loop._per_ray_est is not None
+    tb2.train(16, 1 << 12)
+    assert tb2.training_buffer.measured_batch_size > 0
+
+
 def test_reference_snapshot_roundtrip(tmp_path):
     """tcnn-layout interchange (ngp_network.h:496-541 order): export ->
     sniffing loader -> identical params, density grid, and render."""

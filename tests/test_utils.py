@@ -153,6 +153,27 @@ def test_config_defaults_and_base_json():
     assert cfg.optimizer.adam.learning_rate == 0.5
 
 
+def test_envmap_config_roundtrip():
+    """The shipped base.json's envmap optimizer subtree parses to EXACTLY the
+    built-in EnvmapConfig defaults (reference base.json:70-97); likewise for
+    the reference's own base.json when it is available on disk."""
+    import os
+
+    repo_base = os.path.join(
+        os.path.dirname(__file__), "..", "experiment", "nerf_synthetic", "config", "base.json"
+    )
+    cfg = NGPConfig.from_file(repo_base)
+    assert cfg.envmap == NGPConfig.from_json({}).envmap
+    e = cfg.envmap.optimizer
+    assert (e.ema_decay, e.decay_start, e.decay_interval) == (0.99, 10000, 5000)
+    assert (e.adam.epsilon, e.adam.l2_reg) == (1e-10, 1e-10)
+
+    ref_base = "/root/reference/experiment/nerf_synthetic/config/base.json"
+    if os.path.exists(ref_base):
+        ref_cfg = NGPConfig.from_file(ref_base)
+        assert ref_cfg.envmap == NGPConfig.from_json({}).envmap
+
+
 def test_hash_grid_param_derivation():
     enc = NGPConfig.from_json({}).network.encoding
     # per_level_scale = exp(ln(2048/16)/15) (ngp_network.h:625-630)
