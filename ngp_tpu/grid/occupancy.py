@@ -247,6 +247,54 @@ def update_occupancy(cfg: SamplerConfig, state: GridState) -> GridState:
     )
 
 
+_POOL = 8  # fine cells per superblock edge (128^3 grid -> 16^3 super-grid)
+_HALO = 3  # fine-cell halo each superblock absorbs beyond its own 8^3 block
+
+
+def pooled_occupancy(cfg: SamplerConfig, occupancy):
+    """Halo-pooled super-occupancy, (n_cascades, G/8, G/8, G/8) bool.
+
+    Superblock b is True iff ANY fine cell within b's 8^3 block EXPANDED by a
+    _HALO-cell shell is occupied (a (8+2*_HALO)^3 any-pool at stride 8).
+    Marchers use it as a conservative pre-mask: a lattice SEGMENT (8
+    consecutive fine steps) whose midpoint's superblock reads False provably
+    contains no occupied sample. The slack the halo must absorb, measured at
+    the midpoint's mip where a fine cell is 2^mip/G wide and worst at mip 0
+    with dt = sqrt(3)/1024 ~ 0.22 cells: segment half-extent (4+1)*dt ~ 1.1
+    cells (the +1 covers per-spp march-start jitter < dt), plus the
+    sub-pixel ray drift of later spp passes reusing one coarse pass
+    (~1 px / focal_length lateral at the far end, < 0.5 cells) — < 2 cells
+    total, so _HALO = 3 is strictly conservative with margin. The fine pass
+    re-tests survivors exactly, so false positives only add work, never
+    change results. (The reference has no analogue — its per-thread DDA
+    skips empty cells serially, occupancy_sampler.cu:287-308; on TPU the
+    skip must be a vectorized mask/compact.)
+    """
+    g = cfg.grid_size
+    w = _POOL + 2 * _HALO
+    q = jax.lax.reduce_window(
+        occupancy.astype(jnp.uint8),
+        jnp.uint8(0),
+        jax.lax.max,
+        window_dimensions=(1, w, w, w),
+        window_strides=(1, _POOL, _POOL, _POOL),
+        padding=((0, 0), (_HALO, _HALO), (_HALO, _HALO), (_HALO, _HALO)),
+    )
+    assert q.shape == (cfg.n_cascades, g // _POOL, g // _POOL, g // _POOL)
+    return q > 0
+
+
+def pooled_lookup(cfg: SamplerConfig, pooled, pos, mip):
+    """pooled_occupancy at world positions; same addressing as
+    occupancy_lookup but on the G/8 super-grid."""
+    s = cfg.grid_size // _POOL
+    mip_scale = jax.lax.bitcast_convert_type((127 - mip) << 23, jnp.float32)[..., None]
+    p = (pos - 0.5) * mip_scale + 0.5
+    cell = jnp.clip(jnp.floor(p * s).astype(jnp.int32), 0, s - 1)
+    flat = ((mip * s + cell[..., 0]) * s + cell[..., 1]) * s + cell[..., 2]
+    return pooled.reshape(-1)[flat]
+
+
 def occupancy_lookup(cfg: SamplerConfig, occupancy, pos, mip):
     """Occupancy at world positions for given mips; pos (..., 3), mip (...,).
 

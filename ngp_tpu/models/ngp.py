@@ -25,7 +25,9 @@ from ngp_tpu.ops.hash_encoding import (
     HashGridSpec,
     hash_encode,
     hash_encode_const_pos,
+    hash_encode_packed,
     hash_table_init,
+    pack_inference_tables,
 )
 from ngp_tpu.ops.mlp import mlp_apply, mlp_init
 from ngp_tpu.ops.sh_encoding import sh_encode
@@ -70,6 +72,29 @@ class NGPModel:
     def n_params(self, params) -> int:
         return sum(int(x.size) for x in jax.tree_util.tree_leaves(params))
 
+    # ------------------------------------------------------------- inference
+    def prepare_inference(self, params):
+        """Params -> inference pytree with the hash table pre-packed.
+
+        The returned dict is accepted by `rgbsigma_raw` / `density_raw` in
+        place of raw params; they then gather the packed view directly
+        instead of rebuilding it per call. Rendering packs once per frame
+        (renderer caches on table identity); the reference's analogue is the
+        inference params staying resident between render kernels
+        (ngp_network.h:224 inference_mixed_precision reuses m_params).
+        """
+        return {
+            "hash_packed": pack_inference_tables(params["hash_table"], self.grid_spec),
+            "density_mlp": params["density_mlp"],
+            "rgb_mlp": params["rgb_mlp"],
+        }
+
+    def _encode_pos(self, params, pos, pos_grad: bool = False):
+        if "hash_packed" in params:
+            return hash_encode_packed(params["hash_packed"], pos, self.grid_spec)
+        encode = hash_encode if pos_grad else hash_encode_const_pos
+        return encode(params["hash_table"], pos, self.grid_spec)
+
     # --------------------------------------------------------------- forward
     def density_raw(self, params, pos, pos_grad: bool = False):
         """pos: (N, 3) warped in [0,1] -> raw density-head output (N, 16).
@@ -79,8 +104,7 @@ class NGPModel:
         keeps the analytic d/dpos path in the encoding backward (needed by
         input_gradient); training/grid paths leave it off.
         """
-        encode = hash_encode if pos_grad else hash_encode_const_pos
-        enc = encode(params["hash_table"], pos, self.grid_spec)
+        enc = self._encode_pos(params, pos, pos_grad)
         cfg = self.config.density_mlp
         return mlp_apply(params["density_mlp"], enc, cfg.activation, cfg.output_activation)
 
@@ -96,18 +120,21 @@ class NGPModel:
         TPU; recomputing them costs negligible MXU time. Only the hash
         encoding output (N, L*F) is saved.
         """
-        enc = hash_encode_const_pos(params["hash_table"], pos, self.grid_spec)
+        enc = self._encode_pos(params, pos)
         sh = sh_encode(warped_dir, self.config.sh_degree)
         dcfg = self.config.density_mlp
         rcfg = self.config.rgb_mlp
 
-        @jax.checkpoint
         def heads(mlp_params, enc, sh):
             density_out = mlp_apply(mlp_params["density_mlp"], enc, dcfg.activation, dcfg.output_activation)
             rgb_in = jnp.concatenate([density_out, sh], axis=-1)
             rgb_raw = mlp_apply(mlp_params["rgb_mlp"], rgb_in, rcfg.activation, rcfg.output_activation)
             return rgb_raw, density_out[..., 0]
 
+        if "hash_packed" not in params:
+            # training path: rematerialize the (N, 64) hidden activations in
+            # the backward (dominates step memory; recompute is ~free MXU)
+            heads = jax.checkpoint(heads)
         return heads({"density_mlp": params["density_mlp"], "rgb_mlp": params["rgb_mlp"]}, enc, sh)
 
 

@@ -318,10 +318,9 @@ def _pair_tables(table):
     return jnp.concatenate([table, jnp.roll(table, -1, axis=1)], axis=-1)
 
 
-def _encode_xadd(table, pos, spec: HashGridSpec):
+def _encode_xadd_packed(pair_tables, pos, spec: HashGridSpec):
     f = spec.n_features
     lc = spec.level_constants()
-    pair_tables = _pair_tables(table)
 
     def body(_, xs):
         pair_l, scale, res, dense, size = xs
@@ -334,6 +333,10 @@ def _encode_xadd(table, pos, spec: HashGridSpec):
 
     _, outs = jax.lax.scan(body, None, (pair_tables, lc["scale"], lc["res"], lc["dense"], lc["size"]))
     return jnp.transpose(outs, (1, 0, 2)).reshape(pos.shape[0], spec.n_output_dims)
+
+
+def _encode_xadd(table, pos, spec: HashGridSpec):
+    return _encode_xadd_packed(_pair_tables(table), pos, spec)
 
 
 def _bwd_xadd(table, pos, spec: HashGridSpec, g, need_pos_grad: bool = True):
@@ -455,10 +458,9 @@ def _oct_base_weights(pos, scale, res, dense, size, sy, sz):
     return idx0, W, dlive
 
 
-def _encode_oadd(table, pos, spec: HashGridSpec):
+def _encode_oadd_packed(oct_tables, pos, spec: HashGridSpec):
     f = spec.n_features
     lc = spec.level_constants()
-    oct_tables = _oct_tables(table, spec)
     sy_a, sz_a, _ = _oct_strides(spec)
 
     def body(_, xs):
@@ -472,6 +474,10 @@ def _encode_oadd(table, pos, spec: HashGridSpec):
         body, None, (oct_tables, lc["scale"], lc["res"], lc["dense"], lc["size"], sy_a, sz_a)
     )
     return jnp.transpose(outs, (1, 0, 2)).reshape(pos.shape[0], spec.n_output_dims)
+
+
+def _encode_oadd(table, pos, spec: HashGridSpec):
+    return _encode_oadd_packed(_oct_tables(table, spec), pos, spec)
 
 
 def _bwd_oadd(table, pos, spec: HashGridSpec, g, need_pos_grad: bool = True):
@@ -523,6 +529,34 @@ def _bwd_oadd(table, pos, spec: HashGridSpec, g, need_pos_grad: bool = True):
 # --------------------------------------------------------------------------
 # public op
 # --------------------------------------------------------------------------
+
+def pack_inference_tables(table, spec: HashGridSpec):
+    """Precompute the variant's packed gather view ONCE for inference.
+
+    The packed view (oct for "oadd": 8F wide; pair for "xadd": 2F wide) is
+    what the encode actually gathers from. Training rebuilds it under jit
+    every step (it changes with the table), but at render time the table is
+    frozen for a whole frame — rebuilding a ~0.5 GB oct view inside every
+    render_tile call (and keeping it live across the compositing while_loop)
+    was measured at +17 ms per round on v5e (tools/mb11_composite.py). Pack
+    once per frame, feed `hash_encode_packed`.
+    """
+    if spec.variant == "oadd":
+        return _oct_tables(table, spec)
+    if spec.variant == "xadd":
+        return _pair_tables(table)
+    return table
+
+
+def hash_encode_packed(packed, pos, spec: HashGridSpec):
+    """Inference-only encode over a precomputed packed view (no custom_vjp;
+    autodiff flows through the gather body natively if ever needed)."""
+    if spec.variant == "oadd":
+        return _encode_oadd_packed(packed, pos, spec)
+    if spec.variant == "xadd":
+        return _encode_xadd_packed(packed, pos, spec)
+    return _encode_tcnn(packed, pos, spec)
+
 
 def _hash_encode_impl(table, pos, spec: HashGridSpec):
     if spec.variant == "oadd":

@@ -33,7 +33,15 @@ import jax.numpy as jnp
 import numpy as np
 
 from ngp_tpu.models.ngp import NGPModel, apply_density_activation, apply_rgb_activation
-from ngp_tpu.sampling.lattice import count_samples, lattice_dt, lattice_t, n_lattice_points
+from ngp_tpu.sampling.lattice import (
+    coarse_segment_mask,
+    count_samples,
+    count_samples_segments,
+    lattice_dt,
+    lattice_t,
+    n_lattice_points,
+    segments_supported,
+)
 from ngp_tpu.utils.aabb import AABB, warp_dt
 from ngp_tpu.utils.color import srgb_to_linear
 from ngp_tpu.utils.config import NGPConfig
@@ -43,6 +51,12 @@ RENDER_MODES = ("AO", "Shade", "Normals", "Depth", "Distance", "Stepsize", "Cost
 
 _BUDGET = 1 << 17  # network samples per compositing round (A * D)
 _D = 16  # samples per ray per round (reference marches 1..8, testbed.cu:546)
+# depth cascade: once few rays remain alive, advance each by more samples per
+# round so the fixed (A*D = _BUDGET) network batch stays full of VALID work —
+# the TPU analogue of the reference's adaptive n_steps = clamp(n_pixels /
+# n_alive, 1..8) between compactions (testbed.cu:546-549). Stage k runs while
+# n_alive exceeds the next stage's ray capacity _BUDGET//D.
+_D_CASCADE = (16, 64, 256)
 
 
 def _render_tile_impl(
@@ -66,6 +80,7 @@ def _render_tile_impl(
     rgb_activation: str = "Logistic",
     density_activation: str = "Exponential",
     envmap=None,
+    seg_idx=None,  # (R, C) kept coarse segments (single-cascade fast path)
 ):
     """Render one span-tile of rays -> (R, 4) framebuffer contribution
     (premultiplied linear)."""
@@ -83,93 +98,102 @@ def _render_tile_impl(
     alive0 = aabb.contains(o + d * t0[:, None]) & tile_valid
     startt = t0 + ld_random_val(spp, ray_id.astype(jnp.uint32) * jnp.uint32(786433)) * dt
 
-    # ONE marching pass: occupied window ordinals, padded per ray
-    counts, masks = count_samples(
-        scfg, aabb, occupancy, o, d, startt, n_window, return_masks=True, k0=k0
-    )
+    # ONE marching pass: occupied window ordinals, padded per ray. With
+    # seg_idx the march touches only the pre-masked coarse segments
+    # (width C*8 instead of the full window).
+    if seg_idx is not None:
+        counts, masks, lat_all = count_samples_segments(
+            scfg, aabb, occupancy, o, d, startt, k0, seg_idx
+        )
+        W = seg_idx.shape[1] * 8
+        keys = jnp.where(masks & alive0[:, None], lat_all, jnp.int32(n_window))
+    else:
+        counts, masks = count_samples(
+            scfg, aabb, occupancy, o, d, startt, n_window, return_masks=True, k0=k0
+        )
+        W = n_window
+        iota = jnp.arange(n_window, dtype=jnp.int32)[None, :]
+        keys = jnp.where(masks & alive0[:, None], iota, jnp.int32(n_window))
     counts = jnp.where(alive0, counts, 0)
-    iota = jnp.arange(n_window, dtype=jnp.int32)[None, :]
-    keys = jnp.where(masks & alive0[:, None], iota, jnp.int32(n_window))
-    t_idx = jax.lax.sort(keys, dimension=1).reshape(-1)  # (R * S,) k0-relative
+    t_idx = jax.lax.sort(keys, dimension=1).reshape(-1)  # (R * W,) k0-relative
 
     dirs_w = (d + 1.0) * 0.5
 
-    def round_body(state):
-        rnd, cursor, trans, rgb_acc, opac, processed, alive = state
-        # device compaction: alive ray slots packed to the front
-        order = jnp.cumsum(alive.astype(jnp.int32)) - 1
-        sel = jnp.zeros((R,), jnp.int32).at[jnp.where(alive, order, R)].set(
-            jnp.arange(R, dtype=jnp.int32), mode="drop"
-        )[:A]
-        n_alive = jnp.sum(alive, dtype=jnp.int32)
-        slot = jnp.arange(A, dtype=jnp.int32) < n_alive  # (A,)
+    def make_round(A, D):
+        def round_body(state):
+            rnd, cursor, trans, rgb_acc, opac, processed, alive = state
+            # device compaction: alive ray slots packed to the front
+            order = jnp.cumsum(alive.astype(jnp.int32)) - 1
+            sel = jnp.zeros((R,), jnp.int32).at[jnp.where(alive, order, R)].set(
+                jnp.arange(R, dtype=jnp.int32), mode="drop"
+            )[:A]
+            n_alive = jnp.sum(alive, dtype=jnp.int32)
+            slot = jnp.arange(A, dtype=jnp.int32) < n_alive  # (A,)
 
-        cur = cursor[sel]  # (A,)
-        j = jnp.arange(_D, dtype=jnp.int32)[None, :]
-        flat = sel[:, None] * n_window + jnp.minimum(cur[:, None] + j, n_window - 1)
-        lat = t_idx[flat.reshape(-1)].reshape(A, _D)  # (A, D) window ordinal
-        valid = slot[:, None] & ((cur[:, None] + j) < counts[sel][:, None]) & (lat < n_window)
+            cur = cursor[sel]  # (A,)
+            j = jnp.arange(D, dtype=jnp.int32)[None, :]
+            flat = sel[:, None] * W + jnp.minimum(cur[:, None] + j, W - 1)
+            lat = t_idx[flat.reshape(-1)].reshape(A, D)  # (A, D) window ordinal
+            valid = slot[:, None] & ((cur[:, None] + j) < counts[sel][:, None]) & (lat < n_window)
 
-        ts = lattice_t(scfg, startt[sel][:, None], k0[sel][:, None] + lat)
-        dts = lattice_dt(scfg, ts)  # (A, D); == dt when cone angle is 0
-        pos = o[sel][:, None, :] + ts[..., None] * d[sel][:, None, :]  # (A, D, 3)
-        pos_w = aabb.relative_pos(pos).reshape(-1, 3)
-        dir_w = jnp.broadcast_to(dirs_w[sel][:, None, :], (A, _D, 3)).reshape(-1, 3)
+            ts = lattice_t(scfg, startt[sel][:, None], k0[sel][:, None] + lat)
+            dts = lattice_dt(scfg, ts)  # (A, D); == dt when cone angle is 0
+            pos = o[sel][:, None, :] + ts[..., None] * d[sel][:, None, :]  # (A, D, 3)
+            pos_w = aabb.relative_pos(pos).reshape(-1, 3)
+            dir_w = jnp.broadcast_to(dirs_w[sel][:, None, :], (A, D, 3)).reshape(-1, 3)
 
-        rgb_raw, sigma_raw = model.rgbsigma_raw(params, pos_w, dir_w)
-        sigma = apply_density_activation(sigma_raw, density_activation).reshape(A, _D)
-        rgb = apply_rgb_activation(rgb_raw, rgb_activation).reshape(A, _D, 3)
+            rgb_raw, sigma_raw = model.rgbsigma_raw(params, pos_w, dir_w)
+            sigma = apply_density_activation(sigma_raw, density_activation).reshape(A, D)
+            rgb = apply_rgb_activation(rgb_raw, rgb_activation).reshape(A, D, 3)
 
-        if render_mode == "Normals":
-            # d(sigma)/d(pos): the normal points down the density gradient
-            # (volume_rendering_kernel cu:260-265)
-            grad_pos = model.input_gradient(params, pos_w, density_activation)
-            nrm = -grad_pos / jnp.maximum(jnp.linalg.norm(grad_pos, axis=-1, keepdims=True), 1e-12)
-            rgb = nrm.reshape(A, _D, 3)
-        elif render_mode == "Depth":
-            z = jnp.einsum("rsc,c->rs", pos - camera_origin, camera_fwd) * depth_scale
-            rgb = jnp.repeat(z[..., None], 3, axis=-1)
-        elif render_mode == "Distance":
-            z = jnp.linalg.norm(pos - camera_origin, axis=-1) * depth_scale
-            rgb = jnp.repeat(z[..., None], 3, axis=-1)
-        elif render_mode == "Stepsize":
-            rgb = jnp.broadcast_to(
-                warp_dt(dts, dt, scfg.n_cascades)[..., None], rgb.shape
-            ) * jnp.ones_like(rgb)
+            if render_mode == "Normals":
+                # d(sigma)/d(pos): the normal points down the density gradient
+                # (volume_rendering_kernel cu:260-265)
+                grad_pos = model.input_gradient(params, pos_w, density_activation)
+                nrm = -grad_pos / jnp.maximum(jnp.linalg.norm(grad_pos, axis=-1, keepdims=True), 1e-12)
+                rgb = nrm.reshape(A, D, 3)
+            elif render_mode == "Depth":
+                z = jnp.einsum("rsc,c->rs", pos - camera_origin, camera_fwd) * depth_scale
+                rgb = jnp.repeat(z[..., None], 3, axis=-1)
+            elif render_mode == "Distance":
+                z = jnp.linalg.norm(pos - camera_origin, axis=-1) * depth_scale
+                rgb = jnp.repeat(z[..., None], 3, axis=-1)
+            elif render_mode == "Stepsize":
+                rgb = jnp.broadcast_to(
+                    warp_dt(dts, dt, scfg.n_cascades)[..., None], rgb.shape
+                ) * jnp.ones_like(rgb)
 
-        sdt = jnp.where(valid, sigma * dts, 0.0)
-        alpha = 1.0 - jnp.exp(-sdt)
-        if render_mode == "AO":
-            rgb = jnp.repeat(alpha[..., None], 3, axis=-1)
+            sdt = jnp.where(valid, sigma * dts, 0.0)
+            alpha = 1.0 - jnp.exp(-sdt)
+            if render_mode == "AO":
+                rgb = jnp.repeat(alpha[..., None], 3, axis=-1)
 
-        # composite the round's D samples (early-stop semantics: a sample is
-        # included iff transmittance BEFORE it >= threshold, cu:72)
-        acc_before = jnp.cumsum(sdt, axis=1) - sdt
-        t_before = trans[sel][:, None] * jnp.exp(-acc_before)
-        include = valid & (t_before >= thresh)
-        w = jnp.where(include, alpha * t_before, 0.0)
+            # composite the round's D samples (early-stop semantics: a sample is
+            # included iff transmittance BEFORE it >= threshold, cu:72)
+            acc_before = jnp.cumsum(sdt, axis=1) - sdt
+            t_before = trans[sel][:, None] * jnp.exp(-acc_before)
+            include = valid & (t_before >= thresh)
+            w = jnp.where(include, alpha * t_before, 0.0)
 
-        add_rgb = jnp.sum(w[..., None] * rgb, axis=1)
-        add_opac = jnp.sum(w, axis=1)
-        new_trans_sel = trans[sel] * jnp.exp(-jnp.sum(jnp.where(include, sdt, 0.0), axis=1))
-        add_proc = jnp.sum(include, axis=1)
+            add_rgb = jnp.sum(w[..., None] * rgb, axis=1)
+            add_opac = jnp.sum(w, axis=1)
+            new_trans_sel = trans[sel] * jnp.exp(-jnp.sum(jnp.where(include, sdt, 0.0), axis=1))
+            add_proc = jnp.sum(include, axis=1)
 
-        guard = jnp.where(slot, sel, R)  # padding slots dropped
-        rgb_acc = rgb_acc.at[guard].add(jnp.where(slot[:, None], add_rgb, 0.0), mode="drop")
-        opac = opac.at[guard].add(jnp.where(slot, add_opac, 0.0), mode="drop")
-        processed = processed.at[guard].add(jnp.where(slot, add_proc, 0), mode="drop")
-        trans = trans.at[guard].set(jnp.where(slot, new_trans_sel, 1.0), mode="drop")
-        cursor = cursor.at[guard].add(jnp.where(slot, _D, 0), mode="drop")
+            guard = jnp.where(slot, sel, R)  # padding slots dropped
+            rgb_acc = rgb_acc.at[guard].add(jnp.where(slot[:, None], add_rgb, 0.0), mode="drop")
+            opac = opac.at[guard].add(jnp.where(slot, add_opac, 0.0), mode="drop")
+            processed = processed.at[guard].add(jnp.where(slot, add_proc, 0), mode="drop")
+            trans = trans.at[guard].set(jnp.where(slot, new_trans_sel, 1.0), mode="drop")
+            cursor = cursor.at[guard].add(jnp.where(slot, D, 0), mode="drop")
 
-        done = slot & ((new_trans_sel < thresh) | (cur + _D >= counts[sel]))
-        alive = alive.at[jnp.where(done, sel, R)].set(False, mode="drop")
-        return rnd + 1, cursor, trans, rgb_acc, opac, processed, alive
+            done = slot & ((new_trans_sel < thresh) | (cur + D >= counts[sel]))
+            alive = alive.at[jnp.where(done, sel, R)].set(False, mode="drop")
+            return rnd + 1, cursor, trans, rgb_acc, opac, processed, alive
 
-    def round_cond(state):
-        rnd, *_, alive = state
-        return (rnd < n_rounds_max) & jnp.any(alive)
+        return round_body
 
-    init = (
+    state = (
         jnp.int32(0),
         jnp.zeros((R,), jnp.int32),  # cursor
         jnp.ones((R,), jnp.float32),  # transmittance
@@ -178,7 +202,28 @@ def _render_tile_impl(
         jnp.zeros((R,), jnp.int32),  # processed (Cost mode)
         counts > 0,
     )
-    _, _, trans, rgb_acc, opac, processed, _ = jax.lax.while_loop(round_cond, round_body, init)
+    # stage list: deduplicated cascade depths capped at the window length
+    depths = []
+    for D_k in _D_CASCADE:
+        D_k = min(D_k, n_window)
+        if not depths or D_k > depths[-1]:
+            depths.append(D_k)
+    for si, D_k in enumerate(depths):
+        A_k = max(min(_BUDGET // D_k, R), 1)
+        # hand off to the next (deeper) stage once its ray slots can hold
+        # every alive ray; the final stage drains the tile
+        next_cap = (
+            None if si == len(depths) - 1 else max(min(_BUDGET // depths[si + 1], R), 1)
+        )
+
+        def stage_cond(state, next_cap=next_cap):
+            rnd, *_, alive = state
+            n_alive = jnp.sum(alive, dtype=jnp.int32)
+            more = (n_alive > 0) if next_cap is None else (n_alive > next_cap)
+            return (rnd < n_rounds_max) & more
+
+        state = jax.lax.while_loop(stage_cond, make_round(A_k, D_k), state)
+    _, _, trans, rgb_acc, opac, processed, _ = state
 
     # shade_kernel (testbed.cu:448-477)
     hit = opac > 0.001
@@ -220,8 +265,32 @@ render_tile = functools.partial(
 )(_render_tile_impl)
 
 
+@functools.partial(jax.jit, static_argnames=("config", "n_seg"))
+def _coarse_pass(config, pooled, o, d, t0, k0, n_seg):
+    """Per-frame coarse march: (R,) kept-segment counts + (R, n_seg) sorted
+    kept-segment ordinals (padding sentinel n_seg). Computed ONCE at zero
+    march jitter and reused by every spp pass — the pooled grid's dilation
+    absorbs the per-spp jitter and sub-pixel ray drift (lattice.py)."""
+    cmask = coarse_segment_mask(config.sampler, pooled, o, d, t0, n_seg, k0)
+    j = jnp.arange(n_seg, dtype=jnp.int32)[None, :]
+    keys = jnp.where(cmask, j, jnp.int32(n_seg))
+    return jnp.sum(cmask, axis=1, dtype=jnp.int32), jax.lax.sort(keys, dimension=1)
+
+
 def _pow2(n: int, lo: int, hi: int) -> int:
     return int(min(hi, max(lo, 1 << int(np.ceil(np.log2(max(n, 1)))))))
+
+
+# segment-capacity buckets: C is a static shape, so quantize it to keep the
+# jit cache small across frames/tiles
+_C_BUCKETS = (4, 8, 16, 24, 32, 48, 64, 96, 128, 192, 256)
+
+
+def _c_bucket(n: int, n_seg: int) -> int:
+    for b in _C_BUCKETS:
+        if n <= b:
+            return min(b, n_seg)
+    return n_seg
 
 
 @dataclass
@@ -249,28 +318,169 @@ class Renderer:
     mesh: object = None  # jax.sharding.Mesh -> data-parallel tiles
     _box_cache: dict = field(default_factory=dict)
     _dp_cache: dict = field(default_factory=dict)
+    _prep_cache: dict = field(default_factory=dict)
+    _pool_cache: dict = field(default_factory=dict)
+    _seg_cache: dict = field(default_factory=dict)
 
-    def _dp_render_tile(self, has_envmap: bool, **statics):
+    def _prepared(self, params):
+        """Pack the hash table for inference ONCE per table (identity-keyed,
+        like _occ_box): every tile and every spp pass of a frame then gathers
+        the resident packed view instead of rebuilding it in-graph (measured
+        +17 ms/compositing round when left inside render_tile, mb11)."""
+        if "hash_packed" in params:
+            return params
+        if self._prep_cache.get("arr") is not params["hash_table"]:
+            fn = self._prep_cache.get("fn") or jax.jit(self.model.prepare_inference)
+            self._prep_cache = {
+                "arr": params["hash_table"],
+                "fn": fn,
+                "prepared": fn(params),
+            }
+        return self._prep_cache["prepared"]
+
+    def _dp_render_tile(self, has_envmap: bool, has_seg: bool, **statics):
         """shard_map'ed render_tile: rays sharded, everything else replicated."""
         from jax import shard_map
         from jax.sharding import PartitionSpec as P
 
-        key = (has_envmap, tuple(sorted(statics.items())))
+        key = (has_envmap, has_seg, tuple(sorted(statics.items())))
         if key not in self._dp_cache:
             fn = functools.partial(_render_tile_impl, self.model, self.config, **statics)
             sh, rep = P(tuple(self.mesh.axis_names)), P()  # rays over ALL mesh axes
             if has_envmap:
-                def body(params, occupancy, o, d, k0, rid, tv, spp, fwd, org, dsc, env):
-                    return fn(params, occupancy, o, d, k0, rid, tv, spp, fwd, org, dsc, envmap=env)
-                specs = (rep, rep, sh, sh, sh, sh, sh, rep, rep, rep, rep, rep)
+                def body(params, occupancy, o, d, k0, rid, tv, spp, fwd, org, dsc, *rest):
+                    env = rest[0]
+                    seg = rest[1] if has_seg else None
+                    return fn(params, occupancy, o, d, k0, rid, tv, spp, fwd, org, dsc,
+                              envmap=env, seg_idx=seg)
+                specs = (rep, rep, sh, sh, sh, sh, sh, rep, rep, rep, rep, rep) + ((sh,) if has_seg else ())
             else:
-                def body(params, occupancy, o, d, k0, rid, tv, spp, fwd, org, dsc):
-                    return fn(params, occupancy, o, d, k0, rid, tv, spp, fwd, org, dsc)
-                specs = (rep, rep, sh, sh, sh, sh, sh, rep, rep, rep, rep)
+                def body(params, occupancy, o, d, k0, rid, tv, spp, fwd, org, dsc, *rest):
+                    seg = rest[0] if has_seg else None
+                    return fn(params, occupancy, o, d, k0, rid, tv, spp, fwd, org, dsc,
+                              seg_idx=seg)
+                specs = (rep, rep, sh, sh, sh, sh, sh, rep, rep, rep, rep) + ((sh,) if has_seg else ())
             self._dp_cache[key] = jax.jit(
                 shard_map(body, mesh=self.mesh, in_specs=specs, out_specs=sh, check_vma=False)
             )
         return self._dp_cache[key]
+
+    def _pooled(self, occupancy):
+        """Dilated super-occupancy, cached per grid array (identity-keyed)."""
+        if self._pool_cache.get("arr") is not occupancy:
+            from ngp_tpu.grid.occupancy import pooled_occupancy
+
+            fn = self._pool_cache.get("fn") or jax.jit(
+                functools.partial(pooled_occupancy, self.config.sampler)
+            )
+            self._pool_cache = {"arr": occupancy, "fn": fn, "pooled": fn(occupancy)}
+        return self._pool_cache["pooled"]
+
+    def _frame_geometry(self, box, occupancy, cam, w, h, focal_length, principal_point):
+        """Per-frame ray classification shared by ALL spp passes.
+
+        Computed from pixel-CENTER rays against the occupied box inflated by
+        the maximum center-to-jittered-ray drift (<= 0.71 px of angular
+        offset times the farthest box distance) plus one fine cell — so a
+        jittered ray of ANY spp pass that intersects the true box is
+        guaranteed `hit` here, its k0 (2-step slack) starts at or before its
+        true window, and its span (+4 slack) covers it. The per-pass fine
+        march re-tests exactly; the only effect of the inflation is a few
+        extra empty lattice steps on silhouette rays. The kept-segment lists
+        (coarse pooled-grid march, _coarse_pass) are likewise conservative
+        for every pass: pooled_occupancy's _HALO absorbs the same drift.
+        Rays with zero kept segments provably sample nothing in ANY pass and
+        are culled from `hit` outright.
+        """
+        scfg = self.config.sampler
+        dt = scfg.min_cone_stepsize
+        n_lat = n_lattice_points(scfg)
+        ckey = (
+            box.tobytes(),
+            cam.tobytes(),
+            w,
+            h,
+            tuple(focal_length),
+            tuple(principal_point),
+        )
+        cache = self._seg_cache
+        if cache.get("key") == ckey and cache.get("occ") is occupancy:
+            return cache
+        xs = (np.arange(w, dtype=np.float32) + 0.5) / w
+        ys = (np.arange(h, dtype=np.float32) + 0.5) / h
+        xy = np.stack(np.meshgrid(xs, ys, indexing="xy"), axis=-1).reshape(-1, 2)
+        d = np.stack(
+            [
+                (xy[:, 0] - principal_point[0]) * w / focal_length[0],
+                (xy[:, 1] - principal_point[1]) * h / focal_length[1],
+                np.ones((xy.shape[0],), np.float32),
+            ],
+            axis=-1,
+        ) @ cam[:, :3].T
+        d /= np.maximum(np.linalg.norm(d, axis=-1, keepdims=True), 1e-12)
+        o = np.broadcast_to(cam[:, 3], d.shape).copy()
+        n_rays = o.shape[0]
+
+        # drift bound: angular offset <= 0.71 px, times the farthest box
+        # corner distance, plus one finest-mip cell of margin
+        t_far = float(np.linalg.norm(cam[:, 3] - 0.5 * (box[0] + box[1]))) + float(
+            np.linalg.norm(box[1] - box[0])
+        )
+        margin = 0.71 * t_far / float(min(focal_length)) + 1.0 / scfg.grid_size
+        ibox = np.stack([box[0] - margin, box[1] + margin])
+
+        dd = np.where(np.abs(d) < 1e-12, 1e-12, d)
+        t1 = (ibox[0] - o) / dd
+        t2 = (ibox[1] - o) / dd
+        occ_lo = np.max(np.minimum(t1, t2), axis=-1)
+        occ_hi = np.min(np.maximum(t1, t2), axis=-1)
+        sb = AABB.scene(scfg.aabb_scale)
+        s_lo = np.maximum(
+            np.max(np.minimum((sb.lo - o) / dd, (sb.hi - o) / dd), axis=-1), 0.05
+        )
+        # near-axis-parallel rays produce huge nudged slab ts; clip the
+        # floats into [0, n_lat] BEFORE the int cast so degenerate rays
+        # (filtered by `hit` below) can't overflow int32
+        with np.errstate(invalid="ignore"):
+            k0 = np.clip(np.floor((occ_lo - s_lo) / dt) - 2, 0, n_lat).astype(np.int32)
+            span = np.clip(
+                np.ceil((occ_hi - np.maximum(occ_lo, s_lo)) / dt) + 4, 0, n_lat - k0
+            )
+        hit = (occ_hi >= np.maximum(occ_lo, s_lo)) & (span > 0)
+        ids_hit = np.nonzero(hit)[0]
+
+        ccounts = seg_sorted = inv = None
+        n_seg = 0
+        if segments_supported(scfg) and ids_hit.size > 0:
+            n_seg = max(-(-int(span[ids_hit].max()) // 8), 1)
+            n_seg = max(-(-n_seg // 16) * 16, 16)  # jit-cache bucket
+            t00 = np.maximum(s_lo, 0.05) + 1e-6
+            cc, seg_sorted = _coarse_pass(
+                self.config,
+                self._pooled(occupancy),
+                jnp.asarray(o[ids_hit]),
+                jnp.asarray(d[ids_hit]),
+                jnp.asarray(t00[ids_hit].astype(np.float32)),
+                jnp.asarray(k0[ids_hit]),
+                n_seg,
+            )
+            ccounts = np.zeros((n_rays,), np.int32)
+            ccounts[ids_hit] = np.asarray(cc)
+            inv = np.zeros((n_rays,), np.int32)
+            inv[ids_hit] = np.arange(ids_hit.size, dtype=np.int32)
+            hit = hit & (ccounts > 0)
+        self._seg_cache = {
+            "key": ckey,
+            "occ": occupancy,
+            "hit": hit,
+            "k0": k0,
+            "span": span,
+            "ccounts": ccounts,
+            "seg_sorted": seg_sorted,
+            "inv": inv,
+            "n_seg": n_seg,
+        }
+        return self._seg_cache
 
     def _occ_box(self, occupancy, occ_aabb):
         if occ_aabb is not None:
@@ -302,6 +512,7 @@ class Renderer:
         occ_aabb=None,
     ):
         """One frame at one spp index -> (H, W, 4) premultiplied linear."""
+        params = self._prepared(params)
         w, h = resolution
         scfg = self.config.sampler
         dt = scfg.min_cone_stepsize
@@ -342,30 +553,26 @@ class Renderer:
             )
             k0 = np.zeros((n_rays,), np.int32)
             span = np.full((n_rays,), n_lat, np.float32)
+            ccounts = seg_sorted = inv = None
+            n_seg_frame = 0
         else:
-            # host slab test against the occupied box: span + window start
+            # frame geometry (hit/k0/span + coarse segment lists) is computed
+            # ONCE per (camera, resolution, grid) from pixel-CENTER rays
+            # against a drift-inflated occupied box, then shared by every spp
+            # pass — see _frame_geometry for the conservativeness argument
             box = self._occ_box(occupancy, occ_aabb)
-            t1 = (box[0] - o) / dd
-            t2 = (box[1] - o) / dd
-            occ_lo = np.max(np.minimum(t1, t2), axis=-1)
-            occ_hi = np.min(np.maximum(t1, t2), axis=-1)
-            # the scene-box entry t is recomputed on device with the jitter;
-            # the host k0 keeps one lattice step of slack
-            sb = AABB.scene(scfg.aabb_scale)
-            s_lo = np.maximum(np.max(np.minimum((sb.lo - o) / dd, (sb.hi - o) / dd), axis=-1), 0.05)
-            # near-axis-parallel rays produce huge nudged slab ts; clip the
-            # floats into [0, n_lat] BEFORE the int cast so degenerate rays
-            # (filtered by `hit` below) can't overflow int32
-            with np.errstate(invalid="ignore"):
-                k0 = np.clip(np.floor((occ_lo - s_lo) / dt) - 1, 0, n_lat).astype(np.int32)
-                span = np.clip(
-                    np.ceil((occ_hi - np.maximum(occ_lo, s_lo)) / dt) + 3, 0, n_lat - k0
-                )
-            hit = (occ_hi >= np.maximum(occ_lo, s_lo)) & (span > 0)
+            geo = self._frame_geometry(
+                box, occupancy, cam, w, h, focal_length, principal_point
+            )
+            hit, k0, span = geo["hit"], geo["k0"], geo["span"]
+            ccounts, seg_sorted = geo["ccounts"], geo["seg_sorted"]
+            inv, n_seg_frame = geo["inv"], geo["n_seg"]
+        use_seg = seg_sorted is not None
 
         out = np.zeros((n_rays, 4), np.float32)
         env_only = envmap is not None
         ids_hit = np.nonzero(hit)[0]
+
         if env_only and ids_hit.size < n_rays:
             # misses still show the environment: blend on host via one call
             miss = np.nonzero(~hit)[0]
@@ -374,13 +581,29 @@ class Renderer:
             out[miss] = np.asarray(read_envmap(envmap, jnp.asarray(d[miss])))
 
         if ids_hit.size:
-            order = ids_hit[np.argsort(span[ids_hit], kind="stable")]
+            sort_key = ccounts if use_seg else span
+            order = ids_hit[np.argsort(sort_key[ids_hit], kind="stable")]
             tile = min(self.tile_size, _pow2(order.size, 256, self.tile_size))
             for s in range(0, order.size, tile):
                 sel = order[s : s + tile]
                 w_tile = int(span[sel].max())
-                n_window = min(_pow2(-(-w_tile // 128) * 128, 128, n_lat), n_lat)
-                n_window = -(-n_window // 128) * 128
+                n_legacy = min(_pow2(-(-max(w_tile, 1) // 128) * 128, 128, n_lat), n_lat)
+                n_legacy = -(-n_legacy // 128) * 128
+                c_t = _c_bucket(int(ccounts[sel].max()), n_seg_frame) if use_seg else 0
+                # the segment path pays an extra indirection per fine lookup;
+                # take it only when the premask meaningfully shrinks the
+                # tile's march width (dense/untrained grids keep everything
+                # and the legacy span window is then strictly cheaper)
+                if use_seg and c_t * 8 <= (3 * n_legacy) // 4:
+                    n_window = 8 * n_seg_frame  # frame-constant lat sentinel
+                    rows = np.zeros((tile,), np.int32)
+                    rows[: sel.size] = inv[sel]
+                    seg_t = jnp.take(seg_sorted, jnp.asarray(rows), axis=0)[:, :c_t]
+                    w_eff = c_t * 8  # t_idx width the composite walks
+                else:
+                    n_window = n_legacy
+                    seg_t = None
+                    w_eff = n_window
                 o_t = np.zeros((tile, 3), np.float32)
                 d_t = np.ones((tile, 3), np.float32)
                 k_t = np.zeros((tile,), np.int32)
@@ -393,10 +616,10 @@ class Renderer:
                 v_t[: sel.size] = True
                 # worst case: every round advances min(tile, _BUDGET//_D) rays
                 # by _D samples, so a tile smaller than the per-round ray
-                # budget still needs ~n_window/_D rounds for non-terminating
+                # budget still needs ~w_eff/_D rounds for non-terminating
                 # rays (the loop exits early once nothing is alive)
                 rounds_max = (
-                    int(np.ceil(tile * n_window / _BUDGET)) + int(np.ceil(n_window / _D)) + 4
+                    int(np.ceil(tile * w_eff / _BUDGET)) + int(np.ceil(w_eff / _D)) + 4
                 )
                 n_dev = self.mesh.devices.size if self.mesh is not None else 1
                 statics = dict(
@@ -421,9 +644,14 @@ class Renderer:
                     jnp.float32(1.0 / scene_scale),
                 )
                 if n_dev > 1 and tile % n_dev == 0:
-                    fn = self._dp_render_tile(envmap is not None, **statics)
-                    res = fn(*array_args, envmap) if envmap is not None else fn(*array_args)
+                    fn = self._dp_render_tile(envmap is not None, seg_t is not None, **statics)
+                    extra = (envmap,) if envmap is not None else ()
+                    extra = extra + ((seg_t,) if seg_t is not None else ())
+                    res = fn(*array_args, *extra)
                 else:
-                    res = render_tile(self.model, self.config, *array_args, envmap=envmap, **statics)
+                    res = render_tile(
+                        self.model, self.config, *array_args,
+                        envmap=envmap, seg_idx=seg_t, **statics
+                    )
                 out[sel] = np.asarray(res)[: sel.size]
         return jnp.asarray(out.reshape(h, w, 4))

@@ -28,11 +28,101 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ngp_tpu.grid.occupancy import mip_from_dt, mip_from_pos, occupancy_lookup, static_dt_mip
+from ngp_tpu.grid.occupancy import (
+    mip_from_dt,
+    mip_from_pos,
+    occupancy_lookup,
+    pooled_lookup,
+    static_dt_mip,
+)
 from ngp_tpu.utils.aabb import AABB, warp_dt
 from ngp_tpu.utils.config import SamplerConfig
 
 _CHUNK = 128
+_SEG = 8  # fine lattice points per coarse segment (== grid/occupancy._POOL)
+
+
+def segments_supported(cfg: SamplerConfig) -> bool:
+    """The two-level (coarse-premask) march assumes the arithmetic lattice
+    (cone_angle_constant == 0): segment midpoints are closed-form and the
+    8*dt segment extent is far below the superblock edge. Cone-stepping
+    configs use the exact full-window march instead."""
+    return cfg.cone_angle_constant == 0.0
+
+
+def coarse_segment_mask(cfg: SamplerConfig, pooled, o, d, startt, n_seg: int, k0):
+    """(R, n_seg) bool: segment j (fine ordinals k0 + 8j .. 8j+7) may hold an
+    occupied sample — a conservative superset via the HALO-pooled grid
+    (grid/occupancy.pooled_occupancy): one lookup at the segment midpoint
+    covers every fine point within _HALO (3) fine cells of the midpoint's
+    superblock, which absorbs the (4+1)*dt half-extent (march jitter < dt
+    included) and the sub-pixel ray drift of later spp passes (< 2 cells
+    total; see pooled_occupancy). False positives only cost fine-phase
+    work; the fine phase re-tests exactly.
+
+    Cascades: occupancy is monotone in mip — update_grid_bitfield OR-merges
+    the 2x-pooled finer cascade into each coarser one's central octant
+    (grid/occupancy.update_occupancy; reference occupancy_sampler.cu:182-205)
+    and cascade m's cube IS cascade m+1's central octant — so a lookup at the
+    midpoint's own mip covers every fine point at that mip OR BELOW. A fine
+    point can sit one mip ABOVE the midpoint's only when the midpoint is
+    within the march slack of its mip-cube boundary (maxval = 2^(mip-1));
+    that thin shell additionally ORs the next mip's lookup.
+    """
+    dt = cfg.min_cone_stepsize
+    j = jnp.arange(n_seg, dtype=jnp.float32)
+    tm = startt[:, None] + (k0.astype(jnp.float32)[:, None] + _SEG * j[None, :] + 4.0) * dt
+    pos = o[:, None, :] + tm[..., None] * d[:, None, :]
+    mip = mip_from_pos(pos, cfg.n_cascades)
+    fl = static_dt_mip(dt, cfg.grid_size, cfg.n_cascades)
+    if fl > 0:
+        mip = jnp.maximum(mip, fl)
+    occ = pooled_lookup(cfg, pooled, pos, mip)
+    if cfg.n_cascades > 1:
+        maxval = jnp.max(jnp.abs(pos - 0.5), axis=-1)
+        # upper bound of mip m's range is maxval = 2^(m-1) (mip_from_pos)
+        bound = jax.lax.bitcast_convert_type((126 + mip) << 23, jnp.float32)
+        near = maxval >= bound - 16.0 * dt
+        mip_hi = jnp.minimum(mip + 1, cfg.n_cascades - 1)
+        occ = occ | (near & pooled_lookup(cfg, pooled, pos, mip_hi))
+    return occ
+
+
+def count_samples_segments(cfg: SamplerConfig, aabb: AABB, occupancy, o, d, startt, k0, seg_idx):
+    """Fine march restricted to pre-masked coarse segments.
+
+    seg_idx: (R, C) int32 ASCENDING kept-segment ordinals (padding sentinel
+    >= the frame's segment count). Returns (counts (R,), masks (R, C*8),
+    lat (R, C*8)) with `lat` the k0-relative fine lattice ordinals in march
+    order. Produces exactly count_samples' sample set when seg_idx covers
+    every coarse-occupied segment (pooled_occupancy guarantee): for the
+    convex scene AABB with the march starting inside, the reference's
+    break-on-exit prefix (occupancy_sampler.cu:397) is equivalent to the
+    pointwise contains() test, and skipped segments contribute no samples
+    by construction.
+    """
+    dt = cfg.min_cone_stepsize
+    R, C = seg_idx.shape
+    j8 = jnp.arange(_SEG, dtype=jnp.int32)
+    lat = (seg_idx[:, :, None] * _SEG + j8[None, None, :]).reshape(R, C * _SEG)
+    t = startt[:, None] + (k0[:, None] + lat).astype(jnp.float32) * dt
+    pos = o[:, None, :] + t[..., None] * d[:, None, :]
+    # break-on-exit prefix (occupancy_sampler.cu:397) for the convex scene
+    # box == pointwise contains AND the window's FIRST lattice point inside
+    # (a march starting outside the box yields nothing, exactly as the
+    # full-window cumprod does)
+    t0p = startt + k0.astype(jnp.float32) * dt
+    inside0 = aabb.contains(o + t0p[:, None] * d)
+    inside = aabb.contains(pos) & inside0[:, None]
+    mip = mip_from_pos(pos, cfg.n_cascades)
+    dt_mip = static_dt_mip(dt, cfg.grid_size, cfg.n_cascades)
+    if dt_mip >= 0:
+        mip = jnp.maximum(mip, dt_mip)
+    occ = occupancy_lookup(cfg, occupancy, pos, mip)
+    mask = inside & occ
+    ordinal = jnp.cumsum(mask, axis=1) - mask.astype(jnp.int32)
+    mask = mask & (ordinal < cfg.maximum_marching_steps)
+    return jnp.sum(mask, axis=1, dtype=jnp.int32), mask, lat
 
 
 def assert_supported(cfg: SamplerConfig):

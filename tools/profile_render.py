@@ -140,6 +140,12 @@ def main():
         rgb_raw, sigma_raw = trainer.model.rgbsigma_raw(params, pos, dirs)
         return rgb_raw.sum() + sigma_raw.sum()
 
+    @jax.jit
+    def enc_budget(params, pos):
+        from ngp_tpu.ops.hash_encoding import hash_encode_packed
+
+        return hash_encode_packed(params["hash_packed"], pos, trainer.model.grid_spec).sum()
+
     def timeit(name, fn, reps=4):
         fn()
         fn()
@@ -155,12 +161,15 @@ def main():
 
     pos = jax.random.uniform(jax.random.PRNGKey(0), (_BUDGET, 3))
     dirs = jax.random.uniform(jax.random.PRNGKey(1), (_BUDGET, 3))
-    n_ms = timeit("network fwd on BUDGET samples", lambda: sync(net_budget(state.ema_params, pos, dirs)))
+    prep = renderer._prepared(state.ema_params)
+    n_ms = timeit("network fwd raw params", lambda: sync(net_budget(state.ema_params, pos, dirs)))
+    np_ms = timeit("network fwd packed params", lambda: sync(net_budget(prep, pos, dirs)))
+    e_ms = timeit("hash encode packed only", lambda: sync(enc_budget(prep, pos)))
 
     rounds_max = int(np.ceil(tile * n_window / _BUDGET)) + int(np.ceil(n_window / _D)) + 4
     tile_fn = lambda: sync(
         render_tile(
-            trainer.model, config, state.ema_params, occ, o_t, d_t, k_t,
+            trainer.model, config, prep, occ, o_t, d_t, k_t,
             jnp.asarray(sel.astype(np.int32)), jnp.ones((tile,), bool), jnp.uint32(1),
             jnp.asarray(cam[:, 2]), jnp.asarray(cam[:, 3]), jnp.float32(1.0),
             render_mode="Shade", n_window=n_window, n_rounds_max=rounds_max,
@@ -169,6 +178,51 @@ def main():
     t_ms = timeit("full tile (march+sort+composite)", tile_fn)
     print(f"# => composite ≈ {t_ms - ms_ms:.1f} ms; march {m_ms:.1f} + sort {ms_ms - m_ms:.1f}")
     print(f"# frame estimate: {o.shape[0]/tile:.1f} tiles x {t_ms:.0f} ms = {o.shape[0]/tile*t_ms/1e3:.1f} s/spp")
+
+    # ------------------------------- round-count + per-ray count stats
+    @jax.jit
+    def counts_only(occupancy, o, d, st, k0):
+        return count_samples(scfg, aabb, occupancy, o, d, st, n_window, k0=k0)
+
+    cts = np.asarray(counts_only(occ, o_t, d_t, startt, k_t))
+    print(f"# tile counts p50/p90/max/sum: {np.percentile(cts,50):.0f}/"
+          f"{np.percentile(cts,90):.0f}/{cts.max()}/{cts.sum()}  "
+          f"ideal full-budget rounds: {cts.sum()/_BUDGET:.1f}")
+
+    # stub network on the SAME tile isolates composite glue from network eval
+    class _Stub:
+        def rgbsigma_raw(self, params, pos, dirs):
+            s = pos.sum(-1)
+            return jnp.stack([s, s, s], -1), s * 0.01 - 3.0
+
+    from ngp_tpu.render.renderer import _render_tile_impl
+
+    stub_fn = jax.jit(
+        lambda *a: _render_tile_impl(
+            _Stub(), config, {}, *a,
+            render_mode="Shade", n_window=n_window, n_rounds_max=rounds_max,
+        )
+    )
+    stub_args = (
+        occ, o_t, d_t, k_t, jnp.asarray(sel.astype(np.int32)),
+        jnp.ones((tile,), bool), jnp.uint32(1),
+        jnp.asarray(cam[:, 2]), jnp.asarray(cam[:, 3]), jnp.float32(1.0),
+    )
+    st_ms = timeit("full tile STUB net", lambda: sync(stub_fn(*stub_args)))
+    print(f"# => net in-loop ≈ {t_ms - st_ms:.1f} ms; stub composite {st_ms - ms_ms:.1f}")
+
+    # processed-samples probe: Cost mode returns per-ray included counts
+    # (params must be an ARGUMENT — closed over, the 537 MB packed table
+    # becomes an HLO constant and the remote compile rejects it)
+    cost_fn = jax.jit(
+        lambda p, *a: _render_tile_impl(
+            trainer.model, config, p, *a,
+            render_mode="Cost", n_window=n_window, n_rounds_max=rounds_max,
+        )
+    )
+    proc = np.asarray(cost_fn(prep, *stub_args))[:, 0] * 128.0
+    print(f"# processed (early-stop-trimmed) sum: {proc.sum():.0f} "
+          f"=> {proc.sum()/_BUDGET:.1f} full-budget rounds of included work")
 
 
 if __name__ == "__main__":
