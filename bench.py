@@ -95,6 +95,59 @@ def main():
         file=sys.stderr,
     )
 
+    # ---- converged-grid render benchmark (sparse-scene FPS, tracked) ----
+    # The short bench training above leaves a noisy, nearly-dense occupancy
+    # grid (worst case for any empty-space skip). A CONVERGED run's grid is
+    # the analytic one: cells whose ground-truth optical thickness crosses
+    # the update threshold (grid/occupancy.update_occupancy semantics, fed
+    # the GT field instead of network densities). Rendering the trained
+    # model over that grid tracks the renderer's sparse-scene throughput —
+    # the regime the reference's FPS-class eval lives in (run.py:169).
+    render_stats = {}
+    try:
+        import jax.numpy as jnp
+
+        from ngp_tpu.data.synthetic import field_sigma_rgb
+        from ngp_tpu.grid.occupancy import update_occupancy
+
+        cfgs = tb.config.sampler
+        g = cfgs.grid_size
+        ax = (np.arange(g, dtype=np.float32) + 0.5) / g - 0.5
+        zz, yy, xx = np.meshgrid(ax, ax, ax, indexing="ij")  # linear: x fastest
+        dens = []
+        for c in range(cfgs.n_cascades):
+            centers = np.stack([xx, yy, zz], axis=-1).reshape(-1, 3) * float(1 << c) + 0.5
+            sigma, _ = field_sigma_rgb(centers)
+            dens.append(sigma * cfgs.min_cone_stepsize)
+        grid = tb._state.grid._replace(density=jnp.asarray(np.concatenate(dens)))
+        grid = update_occupancy(cfgs, grid)
+        occ_frac = float(np.asarray(grid.occupancy[0]).mean())
+        print(f"# converged grid: cascade-0 occ frac {occ_frac:.4f}", file=sys.stderr)
+
+        ds = tb._dataset
+        camera = np.asarray(ds.xforms[0], np.float32)
+        res = 800
+        fl = float(ds.focal_length[0]) * res / ds.images.shape[2]
+
+        def frame(spp_i):
+            return tb._renderer.render_frame(
+                tb._state.ema_params, grid.occupancy, camera, (res, res),
+                (fl, fl), (0.5, 0.5), spp_i, occ_aabb=grid.occ_aabb,
+            )
+
+        np.asarray(frame(0))  # compile + warm
+        t0 = time.perf_counter()
+        for s in range(8):
+            np.asarray(frame(s))
+        t_frame = time.perf_counter() - t0
+        render_stats = {
+            "render_800_spp8_s": t_frame,
+            "render_fps": 1.0 / t_frame,
+        }
+        print(f"# converged-grid render: 800^2 spp-8 frame {t_frame:.2f}s", file=sys.stderr)
+    except Exception as e:  # the headline metric must survive a render failure
+        print(f"# converged-grid render benchmark failed: {e}", file=sys.stderr)
+
     print(
         json.dumps(
             {
@@ -102,6 +155,7 @@ def main():
                 "value": sps,
                 "unit": "samples/s",
                 "vs_baseline": sps / BASELINE_SAMPLES_PER_SEC,
+                **render_stats,
             }
         )
     )

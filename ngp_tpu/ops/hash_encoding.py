@@ -99,6 +99,8 @@ class HashGridSpec:
     sizes: tuple  # logical table entries per level
     offsets: tuple  # exclusive prefix of sizes (for flat export)
     variant: str = "xadd"  # "xadd" (pair-packed) | "tcnn" (interchange)
+    # one-corner stochastic gradient deposit (oadd only; see config)
+    stochastic_bwd: bool = False
 
     @property
     def n_entries(self) -> int:
@@ -142,6 +144,7 @@ class HashGridSpec:
             sizes=tuple(sizes),
             offsets=tuple(offsets),
             variant=cfg.hash_variant,
+            stochastic_bwd=getattr(cfg, "stochastic_corner_backward", False),
         )
 
     def level_constants(self):
@@ -480,7 +483,66 @@ def _encode_oadd(table, pos, spec: HashGridSpec):
     return _encode_oadd_packed(_oct_tables(table, spec), pos, spec)
 
 
-def _bwd_oadd(table, pos, spec: HashGridSpec, g, need_pos_grad: bool = True):
+def _bwd_oadd_stochastic(table, pos, spec: HashGridSpec, g, acc_dtype=jnp.bfloat16):
+    """One-corner unbiased gradient deposit (opt-in, spec.stochastic_bwd).
+
+    Per (sample, level): draw corner k with probability equal to its
+    trilinear weight w8[k] (the weights sum to 1 by construction, including
+    dense-level clamping which shifts weight onto the surviving corner) and
+    scatter the UNWEIGHTED upstream gradient g into that corner's row —
+    E[deposit at corner k] = w8[k] * g, exactly the dense deposit's value.
+    The scatter narrows from the oct row (w=16 bf16, ~35 ns/row measured) to
+    the plain (w=F) row (~14 ns/row), and the 8-way roll-fold disappears.
+    The reference's tcnn backward deposits into all 8 corners
+    (atomicAdd per corner); this trades deterministic-per-sample noise that
+    Adam/EMA average out for ~2.4x backward-scatter throughput (A/B PSNR
+    parity recorded in ROADMAP).
+
+    Randomness: a per-(sample, level) hash of the position mantissa bits —
+    positions are freshly jittered every training step, so draws decorrelate
+    across steps without threading an RNG key through custom_vjp.
+    """
+    f = spec.n_features
+    n = pos.shape[0]
+    lc = spec.level_constants()
+    g_levels = g.reshape(n, spec.n_levels, f).transpose(1, 0, 2)  # (L, N, F)
+    sy_a, sz_a, off_a = _oct_strides(spec)
+    # position-bit hash, salted per level inside the scan
+    pbits = jax.lax.bitcast_convert_type(pos, jnp.uint32)  # (N, 3)
+    hbase = (
+        pbits[:, 0] * jnp.uint32(0x9E3779B1)
+        ^ pbits[:, 1] * jnp.uint32(0x85EBCA77)
+        ^ pbits[:, 2] * jnp.uint32(0xC2B2AE3D)
+    )
+    lsalt = (jnp.arange(spec.n_levels, dtype=jnp.uint32) + 1) * jnp.uint32(0x27D4EB2F)
+
+    def body(_, xs):
+        g_l, scale, res, dense, size, sy, sz, off, salt = xs
+        idx0, W, _ = _oct_base_weights(pos, scale, res, dense, size, sy, sz)
+        w8 = W[..., 0] * W[..., 1] * W[..., 2]  # (N, 8), rows sum to 1
+        h = hbase ^ salt
+        h = (h ^ (h >> 15)) * jnp.uint32(0x2C1B3C6D)
+        u = ((h >> 8).astype(jnp.float32) * jnp.float32(2.0**-24))[:, None]
+        cum = jnp.cumsum(w8, axis=1)
+        k = jnp.minimum(jnp.sum((cum < u).astype(jnp.int32), axis=1), 7)  # (N,)
+        row = idx0 + off[k]
+        row = jnp.where(row >= size, row - size, row)
+        d_l = (
+            jnp.zeros((spec.padded_size, f), acc_dtype)
+            .at[row]
+            .add(g_l.astype(acc_dtype))
+        )
+        return None, d_l.astype(table.dtype)
+
+    _, d_table = jax.lax.scan(
+        body,
+        None,
+        (g_levels, lc["scale"], lc["res"], lc["dense"], lc["size"], sy_a, sz_a, off_a, lsalt),
+    )
+    return d_table
+
+
+def _bwd_oadd(table, pos, spec: HashGridSpec, g, need_pos_grad: bool = True, acc_dtype=jnp.bfloat16):
     f = spec.n_features
     n = pos.shape[0]
     lc = spec.level_constants()
@@ -492,9 +554,9 @@ def _bwd_oadd(table, pos, spec: HashGridSpec, g, need_pos_grad: bool = True):
         oct_l, g_l, scale, res, dense, size, sy, sz, off = xs
         idx0, W, dlive = _oct_base_weights(pos, scale, res, dense, size, sy, sz)
         w8 = W[..., 0] * W[..., 1] * W[..., 2]  # (N, 8)
-        contrib = (w8[..., None] * g_l[:, None, :]).astype(jnp.bfloat16)  # (N, 8, F)
+        contrib = (w8[..., None] * g_l[:, None, :]).astype(acc_dtype)  # (N, 8, F)
         acc = (
-            jnp.zeros((spec.padded_size, 8 * f), jnp.bfloat16)
+            jnp.zeros((spec.padded_size, 8 * f), acc_dtype)
             .at[idx0]
             .add(contrib.reshape(n, 8 * f))
         )
@@ -605,7 +667,9 @@ def _hash_encode_cp_fwd(table, pos, spec: HashGridSpec):
 
 def _hash_encode_cp_bwd(spec: HashGridSpec, res_, g):
     table, pos = res_
-    if spec.variant == "oadd":
+    if spec.variant == "oadd" and spec.stochastic_bwd:
+        d_table = _bwd_oadd_stochastic(table, pos, spec, g)
+    elif spec.variant == "oadd":
         d_table, _ = _bwd_oadd(table, pos, spec, g, need_pos_grad=False)
     elif spec.variant == "xadd":
         d_table, _ = _bwd_xadd(table, pos, spec, g, need_pos_grad=False)

@@ -42,6 +42,25 @@ _CHUNK = 128
 _SEG = 8  # fine lattice points per coarse segment (== grid/occupancy._POOL)
 
 
+def _march_mip(cfg: SamplerConfig, pos, dt: float):
+    """Cascade index for occupancy tests along a constant-dt march.
+
+    For aabb_scale == 1 the scene box is the unit cube, where every in-box
+    point has |pos-0.5|_inf <= 0.5 and hence mip_from_pos == 0 except on the
+    measure-zero boundary (reference mip_from_pos, occupancy_sampler.cu:
+    216-221) — so the mip is the STATIC dt floor and the per-point
+    frexp/cascade select drops out entirely. Out-of-box points get the wrong
+    cascade, but every caller masks them with the AABB contains() test
+    before use (count_samples' reachable prefix; the coarse pass only ever
+    DROPS segments whose samples the fine phase would mask anyway).
+    """
+    fl = max(static_dt_mip(dt, cfg.grid_size, cfg.n_cascades), 0)
+    if cfg.aabb_scale == 1:
+        return jnp.full(pos.shape[:-1], fl, jnp.int32)
+    mip = mip_from_pos(pos, cfg.n_cascades)
+    return jnp.maximum(mip, fl) if fl > 0 else mip
+
+
 def segments_supported(cfg: SamplerConfig) -> bool:
     """The two-level (coarse-premask) march assumes the arithmetic lattice
     (cone_angle_constant == 0): segment midpoints are closed-form and the
@@ -73,10 +92,7 @@ def coarse_segment_mask(cfg: SamplerConfig, pooled, o, d, startt, n_seg: int, k0
     j = jnp.arange(n_seg, dtype=jnp.float32)
     tm = startt[:, None] + (k0.astype(jnp.float32)[:, None] + _SEG * j[None, :] + 4.0) * dt
     pos = o[:, None, :] + tm[..., None] * d[:, None, :]
-    mip = mip_from_pos(pos, cfg.n_cascades)
-    fl = static_dt_mip(dt, cfg.grid_size, cfg.n_cascades)
-    if fl > 0:
-        mip = jnp.maximum(mip, fl)
+    mip = _march_mip(cfg, pos, dt)
     occ = pooled_lookup(cfg, pooled, pos, mip)
     if cfg.n_cascades > 1:
         maxval = jnp.max(jnp.abs(pos - 0.5), axis=-1)
@@ -114,10 +130,7 @@ def count_samples_segments(cfg: SamplerConfig, aabb: AABB, occupancy, o, d, star
     t0p = startt + k0.astype(jnp.float32) * dt
     inside0 = aabb.contains(o + t0p[:, None] * d)
     inside = aabb.contains(pos) & inside0[:, None]
-    mip = mip_from_pos(pos, cfg.n_cascades)
-    dt_mip = static_dt_mip(dt, cfg.grid_size, cfg.n_cascades)
-    if dt_mip >= 0:
-        mip = jnp.maximum(mip, dt_mip)
+    mip = _march_mip(cfg, pos, dt)
     occ = occupancy_lookup(cfg, occupancy, pos, mip)
     mask = inside & occ
     ordinal = jnp.cumsum(mask, axis=1) - mask.astype(jnp.int32)
@@ -237,10 +250,7 @@ def _chunk_mask(cfg: SamplerConfig, aabb: AABB, occupancy, o, d, startt, chunk_s
     reachable = still_inside[:, None] & (jnp.cumprod(inside, axis=1) > 0)
     if cfg.cone_angle_constant == 0.0:
         # dt is config-static, so its mip floor is too (cu:223-230)
-        mip = mip_from_pos(pos, cfg.n_cascades)
-        dt_mip = static_dt_mip(dt, cfg.grid_size, cfg.n_cascades)
-        if dt_mip >= 0:
-            mip = jnp.maximum(mip, dt_mip)
+        mip = _march_mip(cfg, pos, dt)
     else:
         mip = mip_from_dt(lattice_dt(cfg, t), pos, cfg.grid_size, cfg.n_cascades)
     occ = occupancy_lookup(cfg, occupancy, pos, mip)

@@ -550,7 +550,11 @@ class TrainingLoop:
         n_long = max(self.n_rays_per_batch // 4, 1)
         s_short = self.s_short if 0 < self.s_short < self.s_pad else 0
         shape = (self.n_rays_per_batch, self.capacity, self.s_pad, self.n_window, s_short, n_long, n_training_steps)
-        use_fused = shape == self._last_shape
+        # the stochastic-corner backward rebalances XLA's schedule such that
+        # the 16-step fused scan exceeds HBM at compile (measured 21.2 GB vs
+        # the 15.75 GB chip); per-step dispatch costs nothing measurable
+        # (303.9 vs 305.2 ms/step same-config, tools/ab_quality.py notes)
+        use_fused = shape == self._last_shape and not self.trainer.model.grid_spec.stochastic_bwd
         self._last_shape = shape
         if use_fused:
             # stable shapes -> ONE dispatch for all n steps (lax.scan; the

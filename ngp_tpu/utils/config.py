@@ -119,6 +119,16 @@ class HashEncodingConfig:
     # x-additive hash, pair-packed (2x). "tcnn": tiny-cuda-nn's exact XOR
     # hash, for reference-checkpoint interchange.
     hash_variant: str = "oadd"
+    # hash backward deposits the full gradient into ONE corner drawn
+    # proportionally to its trilinear weight instead of weighted deposits
+    # into all 8 — an unbiased estimator of the dense deposit (tests/
+    # test_stochastic_bwd.py) that cuts the backward scatter width 8x.
+    # A/B-validated on the 640-step same-seed harness: +0.20 dB, 0.82x step
+    # time (tools/ab_quality.py, ROADMAP round-3 table). Default ON as the
+    # oadd training path; set False for the reference's exact all-corner
+    # deposit semantics (tcnn HashGrid backward, ngp_network.h:162) — the
+    # "tcnn"/"xadd" variants always use their exact backwards.
+    stochastic_corner_backward: bool = True
 
     @property
     def scale(self) -> float:

@@ -35,6 +35,12 @@ def test_run_cli_train_and_eval(tmp_path, nerf_compat):
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
     env["NGP_TPU_TEST_FAST"] = "1"
+    # an accelerator-plugin sitecustomize on the inherited PYTHONPATH can
+    # override the env pin via jax.config at child startup (the exact failure
+    # mode __graft_entry__.dryrun_multichip guards against) — and a CLI child
+    # on the real chip would contend with any concurrently running bench;
+    # remove the plugin trigger so the child really runs on CPU
+    env.pop("PALLAS_AXON_POOL_IPS", None)
 
     run_py = REPO / "experiment" / "nerf_synthetic" / "python" / "run.py"
     cmd = [

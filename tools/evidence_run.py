@@ -6,7 +6,12 @@ PSNR/SSIM on >= 8 held-out views, and reports honest protocol timing
 (measured steady-state step time extrapolated to the reference's 50k-step
 protocol).
 
-Usage: python tools/evidence_run.py [n_steps] [width] [out_json]
+Usage: python tools/evidence_run.py [n_steps] [width] [out_json] [ckpt]
+
+With `ckpt` given, training state is checkpointed there every 2048 steps and
+RESUMED from it on restart (the 50k-step protocol is hours of wall clock; a
+crash must not restart from zero). Eval always runs from the final state.
+Pass n_steps=0 with an existing ckpt for eval-only.
 """
 
 import json
@@ -22,7 +27,8 @@ import numpy as np
 def main():
     n_steps = int(sys.argv[1]) if len(sys.argv) > 1 else 4096
     width = int(sys.argv[2]) if len(sys.argv) > 2 else 800
-    out_path = sys.argv[3] if len(sys.argv) > 3 else "/tmp/evidence_r2.json"
+    out_path = sys.argv[3] if len(sys.argv) > 3 else "/tmp/evidence_r3.json"
+    ckpt = Path(sys.argv[4]) if len(sys.argv) > 4 else None
 
     import jax
 
@@ -39,19 +45,39 @@ def main():
         print(f"# dataset gen ({width}^2, 32 train / 8 test): {time.perf_counter()-t0:.1f}s", flush=True)
 
     tb = Testbed()
-    tb.load_model_config_dict({})  # full base.json-equivalent defaults
+    done_steps = 0
+    if ckpt is not None and ckpt.exists():
+        tb.load_snapshot(str(ckpt))
+        done_steps = int(json.loads((ckpt.with_suffix(".meta.json")).read_text())["i_step"]) if ckpt.with_suffix(".meta.json").exists() else 0
+        print(f"# resumed from {ckpt} at step {done_steps}", flush=True)
+    else:
+        tb.load_model_config_dict({})  # full base.json-equivalent defaults
     t0 = time.perf_counter()
     tb.load_training_data(scene / "transforms_train.json")
     print(f"# load_training_data: {time.perf_counter()-t0:.1f}s", flush=True)
 
+    def save_ckpt():
+        if ckpt is None:
+            return
+        tmp = ckpt.with_suffix(".tmp")
+        tb.save_snapshot(str(tmp), serialize_optimizer=True)
+        tmp.replace(ckpt)
+        ckpt.with_suffix(".meta.json").write_text(
+            json.dumps({"i_step": done_steps + tb.training_buffer.i_step})
+        )
+
     t_train0 = time.perf_counter()
     steady = []
-    while tb.training_buffer.i_step < n_steps:
+    last_saved = 0
+    while done_steps + tb.training_buffer.i_step < n_steps:
         t0 = time.perf_counter()
         tb.train(16, 1 << 18)
         dt = time.perf_counter() - t0
         if tb.training_buffer.i_step > 256:
             steady.append(dt)
+        if tb.training_buffer.i_step - last_saved >= 2048:
+            save_ckpt()
+            last_saved = tb.training_buffer.i_step
         if tb.training_buffer.i_step % 512 == 0:
             print(
                 f"# step={tb.training_buffer.i_step} loss={tb.training_buffer.loss:.5f} win={tb._loop.n_window} n_rays={tb._loop.n_rays_per_batch} "
@@ -60,8 +86,16 @@ def main():
                 flush=True,
             )
     train_s = time.perf_counter() - t_train0
+    save_ckpt()
     per_call = float(np.median(steady)) if steady else float("nan")
-    sps = tb.training_buffer.measured_batch_size * 16 / per_call
+    sps = tb.training_buffer.measured_batch_size * 16 / per_call if steady else float("nan")
+
+    occ = np.asarray(tb._state.grid.occupancy)
+    print(
+        f"# grid at eval: cascade-0 occ frac {occ[0].mean():.4f}, "
+        f"box {np.asarray(tb._state.grid.occ_aabb).tolist()}",
+        flush=True,
+    )
 
     # evaluation: the reference protocol (run.py:98-169) — spp 8, black bg
     test_doc = json.loads((scene / "transforms_test.json").read_text())
@@ -83,7 +117,7 @@ def main():
         print(f"# view {i}: PSNR={p:.2f} SSIM={s_:.3f} render={t_render:.1f}s", flush=True)
 
     result = {
-        "n_steps": int(tb.training_buffer.i_step),
+        "n_steps": int(done_steps + tb.training_buffer.i_step),
         "width": width,
         "train_wall_s": train_s,
         "median_call_s": per_call,

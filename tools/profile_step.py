@@ -105,8 +105,84 @@ def main():
     pos = jax.random.uniform(rng, (cap, 3))
     dirs = jax.random.uniform(rng, (cap, 3))
 
+    # batch-gen decomposition: ray-gen, march, row-sort, assembly
+    from ngp_tpu.sampling.lattice import count_samples, occupied_window_start
+
+    def _rays(rng, images, xforms, focal):
+        h, w = images.shape[1], images.shape[2]
+        k_pixel, k_jitter = jax.random.split(rng)
+        i = jnp.arange(n_rays, dtype=jnp.uint32)
+        img = ((i * jnp.uint32(images.shape[0])) // jnp.uint32(n_rays)) % jnp.uint32(images.shape[0])
+        img = img.astype(jnp.int32)
+        xy = jax.random.uniform(k_pixel, (n_rays, 2))
+        res = jnp.array([w, h], jnp.float32)
+        xy = (jnp.clip(jnp.floor(xy * res), 0, res - 1) + 0.5) / res
+        xf = xforms[img]
+        fx, fy = focal[0], focal[1]
+        d_cam = jnp.stack(
+            [(xy[:, 0] - 0.5) * w / fx, (xy[:, 1] - 0.5) * h / fy, jnp.ones((n_rays,), jnp.float32)],
+            axis=-1,
+        )
+        d = jnp.einsum("rij,rj->ri", xf[:, :, :3], d_cam)
+        d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+        o = xf[:, :, 3]
+        tmin, _ = aabb.ray_intersect(o, d)
+        startt = jnp.maximum(tmin, scfg.near_distance) + scfg.min_cone_stepsize * jax.random.uniform(k_jitter, (n_rays,))
+        return o, d, startt
+
+    @jax.jit
+    def raygen_only(rng, images, xforms, focal):
+        o, d, startt = _rays(rng, images, xforms, focal)
+        return o.sum() + d.sum() + startt.sum()
+
+    @jax.jit
+    def march_only(rng, occupancy, occ_box, images, xforms, focal):
+        o, d, startt = _rays(rng, images, xforms, focal)
+        k0 = occupied_window_start(occ_box, o, d, startt, scfg.min_cone_stepsize, n_lat)
+        c = count_samples(scfg, aabb, occupancy, o, d, startt, n_window, k0=k0)
+        return c.sum()
+
+    @jax.jit
+    def march_sort(rng, occupancy, occ_box, images, xforms, focal):
+        o, d, startt = _rays(rng, images, xforms, focal)
+        k0 = occupied_window_start(occ_box, o, d, startt, scfg.min_cone_stepsize, n_lat)
+        c, m = count_samples(scfg, aabb, occupancy, o, d, startt, n_window, return_masks=True, k0=k0)
+        iota = jnp.arange(n_window, dtype=jnp.int32)[None, :]
+        lat_pad = jax.lax.sort(jnp.where(m, iota, jnp.int32(n_window)), dimension=1)[:, :s_pad]
+        return c.sum() + lat_pad[:, 0].sum()
+
+    timeit("ray_gen", lambda: sync(raygen_only(rng, images, xforms, focal)))
+    timeit("ray_gen+march", lambda: sync(march_only(rng, state.grid.occupancy, state.grid.occ_aabb, images, xforms, focal)))
+    timeit("ray_gen+march+sort", lambda: sync(march_sort(rng, state.grid.occupancy, state.grid.occ_aabb, images, xforms, focal)))
     timeit("batch_gen", lambda: sync(batch_only(rng, state.grid.occupancy, state.grid.occ_aabb, images, xforms, focal)))
     timeit("fwd (hash+mlps, no grad)", lambda: sync(fwd_only(state.params, pos, dirs)))
+
+    # grad-path decomposition at the pinned batch size
+    @jax.jit
+    def fwd_grad(params, pos, dirs, g_rgb, g_sig):
+        def f(p):
+            rgb_raw, sigma_raw = trainer.model.rgbsigma_raw(p, pos, dirs)
+            return (rgb_raw * g_rgb).sum() + (sigma_raw * g_sig).sum()
+        return jax.grad(f)(params)
+
+    g_rgb = jax.random.normal(rng, (cap, 3))
+    g_sig = jax.random.normal(rng, (cap,))
+    timeit("net fwd+bwd (grad to params)", lambda: sync(fwd_grad(state.params, pos, dirs, g_rgb, g_sig)["hash_table"]))
+
+    from ngp_tpu.train.optimizer import create_optimizer, ema_update
+    tx = create_optimizer(config.optimizer)
+    opt_state0 = tx.init(state.params)
+
+    @jax.jit
+    def opt_only(params, opt_state, grads, ema):
+        import optax
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        ema = ema_update(ema, params, config.optimizer.ema_decay)
+        return params, opt_state, ema
+
+    grads0 = jax.tree_util.tree_map(jnp.zeros_like, state.params)
+    timeit("optimizer+ema", lambda: sync(opt_only(state.params, opt_state0, grads0, state.ema_params)[0]["hash_table"]))
     timeit("density_only (grid upd fwd)", lambda: sync(density_only(state.params, pos)))
 
     # full step: state donation means we must thread it
