@@ -68,7 +68,7 @@ def _global_index(mesh: Mesh):
     return idx
 
 
-def _make_dp_step_fn(trainer: Trainer, mesh: Mesh, n_rays_global: int, capacity: int | None = None, s_pad: int = 1024, n_window: int = 0, s_short: int = 0, n_long: int = 0):
+def _make_dp_step_fn(trainer: Trainer, mesh: Mesh, n_rays_global: int, capacity: int | None = None, s_pad: int = 1024, n_window: int = 0, s_short: int = 0, n_long: int = 0, n_seg_cap: int = 0):
     """Per-device step body (must run inside shard_map)."""
     cfg = trainer.config
     scfg = cfg.sampler
@@ -110,6 +110,8 @@ def _make_dp_step_fn(trainer: Trainer, mesh: Mesh, n_rays_global: int, capacity:
             n_window=n_window,
             s_short=s_short,
             n_long=max(n_long // n_dev, 1) if n_long else 0,
+            n_seg_cap=n_seg_cap,
+            want_seg_stat=True,
         )
 
         if cfg.render.train_with_random_bg_color:
@@ -210,6 +212,7 @@ def _make_dp_step_fn(trainer: Trainer, mesh: Mesh, n_rays_global: int, capacity:
             "measured_batch_size_before_compaction": jax.lax.psum(batch.n_samples, axes),
             "max_ray_count": jax.lax.pmax(batch.max_ray_count, axes),
             "count_at_split": jax.lax.pmax(batch.count_at_split, axes),
+            "max_seg_count": jax.lax.pmax(jnp.asarray(batch.max_seg_count, jnp.int32), axes),
         }
         new_state = TrainState(
             params=params,
@@ -225,9 +228,9 @@ def _make_dp_step_fn(trainer: Trainer, mesh: Mesh, n_rays_global: int, capacity:
     return step_fn
 
 
-def make_dp_train_step(trainer: Trainer, mesh: Mesh, n_rays_global: int, capacity: int | None = None, s_pad: int = 1024, n_window: int = 0, s_short: int = 0, n_long: int = 0):
+def make_dp_train_step(trainer: Trainer, mesh: Mesh, n_rays_global: int, capacity: int | None = None, s_pad: int = 1024, n_window: int = 0, s_short: int = 0, n_long: int = 0, n_seg_cap: int = 0):
     """Single sharded train step (rays over "data", psum grads)."""
-    step_fn = _make_dp_step_fn(trainer, mesh, n_rays_global, capacity, s_pad, n_window, s_short, n_long)
+    step_fn = _make_dp_step_fn(trainer, mesh, n_rays_global, capacity, s_pad, n_window, s_short, n_long, n_seg_cap)
     rep = P()
     sharded = shard_map(
         step_fn,
@@ -239,9 +242,9 @@ def make_dp_train_step(trainer: Trainer, mesh: Mesh, n_rays_global: int, capacit
     return jax.jit(sharded, donate_argnums=(0,))
 
 
-def make_dp_train_call(trainer: Trainer, mesh: Mesh, n_rays_global: int, capacity: int, s_pad: int, n_steps: int, n_window: int = 0, s_short: int = 0, n_long: int = 0):
+def make_dp_train_call(trainer: Trainer, mesh: Mesh, n_rays_global: int, capacity: int, s_pad: int, n_steps: int, n_window: int = 0, s_short: int = 0, n_long: int = 0, n_seg_cap: int = 0):
     """n_steps sharded inner steps fused into one jitted lax.scan call."""
-    step_fn = _make_dp_step_fn(trainer, mesh, n_rays_global, capacity, s_pad, n_window, s_short, n_long)
+    step_fn = _make_dp_step_fn(trainer, mesh, n_rays_global, capacity, s_pad, n_window, s_short, n_long, n_seg_cap)
     rep = P()
 
     def call_fn(state, images, xforms, focal_length, shift0):

@@ -30,7 +30,15 @@ import jax.numpy as jnp
 
 from ngp_tpu.data.nerf_synthetic import read_rgba
 from ngp_tpu.ops.layout import SampleLayout, build_layout
-from ngp_tpu.sampling.lattice import count_samples, lattice_dt, lattice_t, occupied_window_start
+from ngp_tpu.sampling.lattice import (
+    _SEG,
+    coarse_segment_mask,
+    count_samples,
+    count_samples_segments,
+    lattice_dt,
+    lattice_t,
+    occupied_window_start,
+)
 from ngp_tpu.utils.aabb import AABB
 from ngp_tpu.utils.config import SamplerConfig
 
@@ -60,6 +68,9 @@ class TrainingBatch(NamedTuple):
     n_samples: jnp.ndarray  # () int32 — generated samples before drops
     max_ray_count: jnp.ndarray  # () int32 — longest ray this step (S controller)
     count_at_split: jnp.ndarray  # () int32 — longest SHORT-bucket count (S_short controller)
+    # most coarse-occupied segments on any ray (pre-truncation; the seg-cap
+    # controller's signal). Zero when the coarse pass didn't run.
+    max_seg_count: jnp.ndarray = 0
 
 
 def generate_training_batch(
@@ -82,6 +93,8 @@ def generate_training_batch(
     n_window: int = 0,
     s_short: int = 0,
     n_long: int = 0,
+    n_seg_cap: int = 0,
+    want_seg_stat: bool = False,
 ) -> TrainingBatch:
     """`stride_denom`/`index_offset` let a data-parallel shard generate its
     slice [index_offset, index_offset + n_rays) of a `stride_denom`-ray
@@ -97,7 +110,19 @@ def generate_training_batch(
     to the (R, s_short) bucket; a ray outside the top-n_long whose count
     exceeds s_short is dropped whole (same whole-ray drop philosophy as the
     s_pad cap — the TrainingLoop sizes s_short from the count_at_split stat
-    so such drops are rare)."""
+    so such drops are rare).
+
+    `n_seg_cap > 0` enables the two-level march (arithmetic lattice only):
+    a coarse pass over the halo-pooled super-occupancy keeps at most
+    n_seg_cap 8-step segments per ray and the fine occupancy march touches
+    only those — the exact sample set of the full-window march whenever the
+    cap covers every coarse-occupied segment (conservative premask,
+    lattice.count_samples_segments), at ~n_seg_cap*8/n_window of its cost.
+    Rays with more kept segments are TRUNCATED to the first n_seg_cap (the
+    march-order prefix — the same semantics as the s_pad truncation; the
+    max_seg_count stat lets the TrainingLoop size the cap so this is rare).
+    `want_seg_stat` computes max_seg_count even when the premask is off, so
+    the controller can decide when to engage it."""
     n_images, h, w = images.shape[0], images.shape[1], images.shape[2]
     k_pixel, k_jitter = jax.random.split(key)
     denom = stride_denom or n_rays
@@ -142,7 +167,27 @@ def generate_training_batch(
         # marches the full (much shorter) cone lattice instead
         n_window = n_lattice
         k0 = jnp.zeros((n_rays,), jnp.int32)
-    counts, masks = count_samples(cfg, aabb, occupancy, o, d, startt, n_window, return_masks=True, k0=k0)
+    # coarse premask (and/or its controller stat): one halo-pooled lookup per
+    # 8-step segment, conservative for the jittered march (lattice.py)
+    coarse_ok = cfg.cone_angle_constant == 0.0 and occ_aabb is not None and n_window % _SEG == 0
+    seg_on = n_seg_cap > 0 and coarse_ok
+    max_seg_count = jnp.zeros((), jnp.int32)
+    if seg_on or (want_seg_stat and coarse_ok):
+        from ngp_tpu.grid.occupancy import pooled_occupancy
+
+        n_seg = n_window // _SEG
+        pooled = pooled_occupancy(cfg, occupancy)
+        cmask = coarse_segment_mask(cfg, pooled, o, d, startt, n_seg, k0) & hits[:, None]
+        max_seg_count = jnp.max(jnp.sum(cmask, axis=1, dtype=jnp.int32))
+
+    lat_all = None
+    if seg_on:
+        j_seg = jnp.arange(n_seg, dtype=jnp.int32)[None, :]
+        seg_idx = jax.lax.sort(jnp.where(cmask, j_seg, jnp.int32(n_seg)), dimension=1)[:, :n_seg_cap]
+        counts, masks, lat_all = count_samples_segments(cfg, aabb, occupancy, o, d, startt, k0, seg_idx)
+        s_pad = min(s_pad, n_seg_cap * _SEG)  # counts can't exceed the kept width
+    else:
+        counts, masks = count_samples(cfg, aabb, occupancy, o, d, startt, n_window, return_masks=True, k0=k0)
     masks = masks & hits[:, None]
     counts = jnp.where(hits, counts, 0)
     n_samples = jnp.sum(counts)
@@ -184,9 +229,15 @@ def generate_training_batch(
         layout_long = build_layout(base[sel_long], counts[sel_long], valid_long, capacity, s_pad)
 
     # per-ray compaction: occupied window indices are increasing, so a row
-    # sort of where(mask, j, n_window) left-justifies them in march order
-    lat_iota = jnp.arange(n_window, dtype=jnp.int32)[None, :]
-    keys = jnp.where(masks & ray_valid[:, None], lat_iota, jnp.int32(n_window))
+    # sort of where(mask, j, SENTINEL) left-justifies them in march order.
+    # On the seg path the mask columns carry their own lattice ordinals
+    # (count_samples_segments' `lat`), already ascending across kept segments.
+    if seg_on:
+        lat_vals, sentinel = lat_all, jnp.int32((n_seg + 1) * _SEG)
+    else:
+        lat_vals = jnp.arange(n_window, dtype=jnp.int32)[None, :]
+        sentinel = jnp.int32(n_window)
+    keys = jnp.where(masks & ray_valid[:, None], lat_vals, sentinel)
     lat_pad = jax.lax.sort(keys, dimension=1)[:, :s_pad]  # (R, S_long), k0-relative
 
     # flat network inputs, all closed-form from the lattice index k0 + j;
@@ -225,4 +276,5 @@ def generate_training_batch(
         n_samples=n_samples,
         max_ray_count=max_ray_count,
         count_at_split=count_at_split,
+        max_seg_count=max_seg_count,
     )

@@ -128,7 +128,7 @@ class Trainer:
         )
 
     # ----------------------------------------------------------- train step
-    def _train_step_fn(self, n_rays: int, capacity: int, s_pad: int, n_window: int = 0, s_short: int = 0, n_long: int = 0):
+    def _train_step_fn(self, n_rays: int, capacity: int, s_pad: int, n_window: int = 0, s_short: int = 0, n_long: int = 0, n_seg_cap: int = 0):
         cfg = self.config
         scfg = cfg.sampler
         model = self.model
@@ -156,6 +156,8 @@ class Trainer:
                 n_window=n_window,
                 s_short=s_short,
                 n_long=n_long,
+                n_seg_cap=n_seg_cap,
+                want_seg_stat=True,
             )
 
             # background: one random sRGB color per step when enabled
@@ -261,6 +263,7 @@ class Trainer:
                 "measured_batch_size_before_compaction": batch.n_samples,
                 "max_ray_count": batch.max_ray_count,
                 "count_at_split": batch.count_at_split,
+                "max_seg_count": batch.max_seg_count,
             }
             new_state = TrainState(
                 params=params,
@@ -286,19 +289,19 @@ class Trainer:
             self.density_activation,
         )
 
-    def train_call(self, n_rays: int, capacity: int, s_pad: int, n_steps: int, n_window: int = 0, s_short: int = 0, n_long: int = 0):
+    def train_call(self, n_rays: int, capacity: int, s_pad: int, n_steps: int, n_window: int = 0, s_short: int = 0, n_long: int = 0, n_seg_cap: int = 0):
         """One jitted call running `n_steps` inner steps via lax.scan —
         collapses per-step host dispatches (expensive through a remote
         device tunnel) into one. Mirrors the reference's 16-step train()
         granularity (testbed.cu:255-263)."""
-        key = ("call", n_rays, capacity, s_pad, n_steps, n_window, s_short, n_long, self._semantic_key())
+        key = ("call", n_rays, capacity, s_pad, n_steps, n_window, s_short, n_long, n_seg_cap, self._semantic_key())
         if key not in self._cache:
             if self.mesh is not None and self.mesh.devices.size > 1:
                 from ngp_tpu.parallel.mesh import make_dp_train_call
 
-                self._cache[key] = make_dp_train_call(self, self.mesh, n_rays, capacity, s_pad, n_steps, n_window=n_window, s_short=s_short, n_long=n_long)
+                self._cache[key] = make_dp_train_call(self, self.mesh, n_rays, capacity, s_pad, n_steps, n_window=n_window, s_short=s_short, n_long=n_long, n_seg_cap=n_seg_cap)
             else:
-                step_fn = self._train_step_fn(n_rays, capacity, s_pad, n_window, s_short, n_long)
+                step_fn = self._train_step_fn(n_rays, capacity, s_pad, n_window, s_short, n_long, n_seg_cap)
 
                 def call_fn(state, images, xforms, focal_length, shift0):
                     def body(st, i):
@@ -310,22 +313,22 @@ class Trainer:
                 self._cache[key] = jax.jit(call_fn, donate_argnums=(0,))
         return self._cache[key]
 
-    def train_step(self, n_rays: int, capacity: int | None = None, s_pad: int = 1024, n_window: int = 0, s_short: int = 0, n_long: int = 0):
+    def train_step(self, n_rays: int, capacity: int | None = None, s_pad: int = 1024, n_window: int = 0, s_short: int = 0, n_long: int = 0, n_seg_cap: int = 0):
         """Jitted step for a given (static, power-of-two) ray count.
 
         With a mesh set, returns the shard_map data-parallel step (rays
         sharded over the "data" axis, grads psum'ed; parallel/mesh.py).
         """
         capacity = capacity or self.sample_capacity
-        key = ("step", n_rays, capacity, s_pad, n_window, s_short, n_long, self._semantic_key())
+        key = ("step", n_rays, capacity, s_pad, n_window, s_short, n_long, n_seg_cap, self._semantic_key())
         if key not in self._cache:
             if self.mesh is not None and self.mesh.devices.size > 1:
                 from ngp_tpu.parallel.mesh import make_dp_train_step
 
-                self._cache[key] = make_dp_train_step(self, self.mesh, n_rays, capacity, s_pad, n_window=n_window, s_short=s_short, n_long=n_long)
+                self._cache[key] = make_dp_train_step(self, self.mesh, n_rays, capacity, s_pad, n_window=n_window, s_short=s_short, n_long=n_long, n_seg_cap=n_seg_cap)
             else:
                 self._cache[key] = jax.jit(
-                    self._train_step_fn(n_rays, capacity, s_pad, n_window, s_short, n_long), static_argnames=(), donate_argnums=(0,)
+                    self._train_step_fn(n_rays, capacity, s_pad, n_window, s_short, n_long, n_seg_cap), static_argnames=(), donate_argnums=(0,)
                 )
         return self._cache[key]
 
@@ -366,10 +369,11 @@ class Trainer:
                     state.grid.occupancy, k_batch, n_probe, n_rays_shift,
                     n_probe, n_lattice, 32,
                     occ_aabb=state.grid.occ_aabb, n_window=n_window,
+                    want_seg_stat=True,
                 )
-                # both stats are pre-truncation/pre-drop, so the tiny
+                # all stats are pre-truncation/pre-drop, so the tiny
                 # capacity/s_pad above don't bias them
-                return batch.n_samples, batch.max_ray_count
+                return batch.n_samples, batch.max_ray_count, batch.max_seg_count
 
             self._cache[key] = jax.jit(probe_fn)
         return self._cache[key]
@@ -457,6 +461,12 @@ class TrainingLoop:
         # the observed longest short-bucket count (count_at_split stat)
         self.s_short = 0
         self._s_short_shrink_votes = 0
+        # two-level-march controller: kept-coarse-segment capacity, sized from
+        # the max_seg_count stat; 0 = full-window march (noisy grids where the
+        # premask keeps nearly everything)
+        self.n_seg_cap = 0
+        self._seg_est = None
+        self._seg_shrink_votes = 0
         # per-ray sample estimate driving the controllers; None triggers a
         # fresh-grid probe at the next call (also re-probed on >25% drift)
         self._per_ray_est = None
@@ -471,6 +481,7 @@ class TrainingLoop:
             "s_pad": int(self.s_pad),
             "s_short": int(self.s_short),
             "per_ray_est": float(self._per_ray_est) if self._per_ray_est else 0.0,
+            "seg_est": float(self._seg_est) if self._seg_est else 0.0,
         }
 
     def restore_controller(self, d: dict):
@@ -481,6 +492,8 @@ class TrainingLoop:
         self.s_short = min(int(d.get("s_short", 0)), self.s_pad)
         per_ray = float(d.get("per_ray_est", 0.0))
         self._per_ray_est = per_ray if per_ray > 0 else None
+        seg = float(d.get("seg_est", 0.0))
+        self._seg_est = seg if seg > 0 else None
 
     @staticmethod
     def _quantize_n_rays(n: int) -> int:
@@ -526,9 +539,11 @@ class TrainingLoop:
         if self._per_ray_est is None or self._probe_next:
             n_probe = 1 << 10
             pf = self.trainer.probe_batch(n_probe, self.n_window)
-            ns, mrc = jax.device_get(
+            ns, mrc, msc = jax.device_get(
                 pf(state, ds.images, ds.xforms, jnp.asarray(ds.focal_length), jnp.uint32(self.n_rays_total))
             )
+            if float(msc) > 0:
+                self._seg_est = float(msc)
             per_ray = float(ns) / n_probe
             if per_ray > 0:
                 target = self.trainer.target_batch_size
@@ -549,7 +564,24 @@ class TrainingLoop:
         # lets s_short drop to the ~32-sample floor
         n_long = max(self.n_rays_per_batch // 4, 1)
         s_short = self.s_short if 0 < self.s_short < self.s_pad else 0
-        shape = (self.n_rays_per_batch, self.capacity, self.s_pad, self.n_window, s_short, n_long, n_training_steps)
+        # two-level march: engage when the kept-segment cap (25% headroom,
+        # pow2, grow-fast/shrink-slow like s_short) meaningfully undercuts
+        # the full window — the same 3/4 threshold the renderer uses
+        n_seg_frame = self.n_window // 8
+        if self._seg_est is not None and self._seg_est > 0:
+            want = min(1 << int(np.ceil(np.log2(max(self._seg_est * 1.25, 8)))), n_seg_frame)
+            if self.n_seg_cap == 0 or want > self.n_seg_cap or self.n_seg_cap > n_seg_frame:
+                self.n_seg_cap = want
+                self._seg_shrink_votes = 0
+            elif want <= self.n_seg_cap // 2:
+                self._seg_shrink_votes += 1
+                if self._seg_shrink_votes >= 2:
+                    self.n_seg_cap = self.n_seg_cap // 2
+                    self._seg_shrink_votes = 0
+            else:
+                self._seg_shrink_votes = 0
+        n_seg_cap = self.n_seg_cap if 0 < self.n_seg_cap * 8 <= (3 * self.n_window) // 4 else 0
+        shape = (self.n_rays_per_batch, self.capacity, self.s_pad, self.n_window, s_short, n_long, n_seg_cap, n_training_steps)
         # the stochastic-corner backward rebalances XLA's schedule such that
         # the 16-step fused scan exceeds HBM at compile (measured 21.2 GB vs
         # the 15.75 GB chip); per-step dispatch costs nothing measurable
@@ -562,7 +594,7 @@ class TrainingLoop:
             # testbed.cu:255-263). Gated on the same shape twice in a row so
             # transient controller shapes don't pay the scan compile.
             call = self.trainer.train_call(
-                self.n_rays_per_batch, self.capacity, self.s_pad, n_training_steps, self.n_window, s_short, n_long
+                self.n_rays_per_batch, self.capacity, self.s_pad, n_training_steps, self.n_window, s_short, n_long, n_seg_cap
             )
             shift = self.n_rays_total
             self.n_rays_total += self.n_rays_per_batch * n_training_steps
@@ -570,7 +602,7 @@ class TrainingLoop:
             self.i_step += n_training_steps
             stats = jax.device_get(stats)  # single D->H sync (testbed.cu:266-289)
         else:
-            step_fn = self.trainer.train_step(self.n_rays_per_batch, self.capacity, self.s_pad, self.n_window, s_short, n_long)
+            step_fn = self.trainer.train_step(self.n_rays_per_batch, self.capacity, self.s_pad, self.n_window, s_short, n_long, n_seg_cap)
             all_stats = []
             for _ in range(n_training_steps):
                 shift = self.n_rays_total
@@ -622,6 +654,9 @@ class TrainingLoop:
         # after two consecutive half-size votes — without hysteresis the
         # width flaps between pow2 values and the shape-stability gate never
         # lets the fused scan engage.
+        msc = float(np.max(stats.get("max_seg_count", 0)))
+        if msc > 0:
+            self._seg_est = msc
         split = float(np.max(stats.get("count_at_split", stats["max_ray_count"])))
         need = min(1 << int(np.ceil(np.log2(max(split * 1.25, 32)))), self.s_pad)
         if self.s_short == 0 or need > self.s_short or self.s_short > self.s_pad:
