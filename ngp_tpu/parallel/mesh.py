@@ -111,7 +111,6 @@ def _make_dp_step_fn(trainer: Trainer, mesh: Mesh, n_rays_global: int, capacity:
             s_short=s_short,
             n_long=max(n_long // n_dev, 1) if n_long else 0,
             n_seg_cap=n_seg_cap,
-            want_seg_stat=True,
         )
 
         if cfg.render.train_with_random_bg_color:

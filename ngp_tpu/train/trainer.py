@@ -157,7 +157,6 @@ class Trainer:
                 s_short=s_short,
                 n_long=n_long,
                 n_seg_cap=n_seg_cap,
-                want_seg_stat=True,
             )
 
             # background: one random sRGB color per step when enabled
@@ -536,6 +535,11 @@ class TrainingLoop:
         # otherwise makes the previous-call estimate lag one call behind and
         # the measured batch transiently collapses)
         ds = self.dataset
+        # the per-step stats carry max_seg_count only while the seg path is
+        # ON; when it's off, a periodic probe (cheap: 1024 rays) keeps the
+        # seg estimate fresh so the premask engages once the grid sparsifies
+        if self.n_seg_cap == 0 and self.i_step > 0 and (self.i_step // n_training_steps) % 16 == 0:
+            self._probe_next = True
         if self._per_ray_est is None or self._probe_next:
             n_probe = 1 << 10
             pf = self.trainer.probe_batch(n_probe, self.n_window)
