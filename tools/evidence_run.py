@@ -127,6 +127,11 @@ def main():
         "psnr_mean": float(np.mean([r["psnr"] for r in rows])),
         "ssim_mean": float(np.mean([r["ssim"] for r in rows])),
         "render_mean_s": float(np.mean([r["render_s"] for r in rows[1:]] or [rows[0]["render_s"]])),
+        # the reference protocol also reports LPIPS (run.py:140-145); the
+        # `lpips` package/weights don't ship in this zero-egress environment,
+        # so that leg is environment-blocked rather than omitted silently
+        "lpips_mean": None,
+        "lpips_note": "environment-blocked: no lpips package/VGG weights offline",
     }
     Path(out_path).write_text(json.dumps(result, indent=1))
     print(json.dumps({k: v for k, v in result.items() if k != "views"}), flush=True)
