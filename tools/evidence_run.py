@@ -45,11 +45,10 @@ def main():
         print(f"# dataset gen ({width}^2, 32 train / 8 test): {time.perf_counter()-t0:.1f}s", flush=True)
 
     tb = Testbed()
-    done_steps = 0
     if ckpt is not None and ckpt.exists():
+        # load_snapshot restores i_step (and the controller state) itself
         tb.load_snapshot(str(ckpt))
-        done_steps = int(json.loads((ckpt.with_suffix(".meta.json")).read_text())["i_step"]) if ckpt.with_suffix(".meta.json").exists() else 0
-        print(f"# resumed from {ckpt} at step {done_steps}", flush=True)
+        print(f"# resumed from {ckpt} at step {tb.training_buffer.i_step}", flush=True)
     else:
         tb.load_model_config_dict({})  # full base.json-equivalent defaults
     t0 = time.perf_counter()
@@ -62,14 +61,11 @@ def main():
         tmp = ckpt.with_suffix(".tmp")
         tb.save_snapshot(str(tmp), serialize_optimizer=True)
         tmp.replace(ckpt)
-        ckpt.with_suffix(".meta.json").write_text(
-            json.dumps({"i_step": done_steps + tb.training_buffer.i_step})
-        )
 
     t_train0 = time.perf_counter()
     steady = []
-    last_saved = 0
-    while done_steps + tb.training_buffer.i_step < n_steps:
+    last_saved = tb.training_buffer.i_step
+    while tb.training_buffer.i_step < n_steps:
         t0 = time.perf_counter()
         tb.train(16, 1 << 18)
         dt = time.perf_counter() - t0
@@ -117,7 +113,7 @@ def main():
         print(f"# view {i}: PSNR={p:.2f} SSIM={s_:.3f} render={t_render:.1f}s", flush=True)
 
     result = {
-        "n_steps": int(done_steps + tb.training_buffer.i_step),
+        "n_steps": int(tb.training_buffer.i_step),
         "width": width,
         "train_wall_s": train_s,
         "median_call_s": per_call,
