@@ -265,6 +265,20 @@ render_tile = functools.partial(
 )(_render_tile_impl)
 
 
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _scatter_rows(out, sel, res):
+    """Device framebuffer assembly (padding rows carry index len(out) and
+    drop). Jitted: eager ops dispatch one-at-a-time through a remote-device
+    tunnel at ~100 ms each (ROADMAP.md)."""
+    return out.at[sel].set(res, mode="drop")
+
+
+@functools.partial(jax.jit, static_argnames=("n_rays",))
+def _scatter_init(n_rays, sel, res):
+    """First tile also allocates the framebuffer, inside the same jit."""
+    return jnp.zeros((n_rays, 4), jnp.float32).at[sel].set(res, mode="drop")
+
+
 @functools.partial(jax.jit, static_argnames=("config", "n_seg"))
 def _coarse_pass(config, pooled, o, d, t0, k0, n_seg):
     """Per-frame coarse march: (R,) kept-segment counts + (R, n_seg) sorted
@@ -569,16 +583,25 @@ class Renderer:
             inv, n_seg_frame = geo["inv"], geo["n_seg"]
         use_seg = seg_sorted is not None
 
-        out = np.zeros((n_rays, 4), np.float32)
+        # the frame assembles ON DEVICE: each tile's result scatters into the
+        # framebuffer without a host readback, so XLA pipelines every tile's
+        # compute/transfer and the whole spp pass costs ZERO mid-frame syncs
+        # (a host `np.asarray` per tile costs a full tunnel roundtrip each —
+        # ~26.6 ms x tiles x spp of pure latency on the remote chip)
+        out = None  # allocated by _scatter_init / _env_fill on first use
         env_only = envmap is not None
         ids_hit = np.nonzero(hit)[0]
 
-        if env_only and ids_hit.size < n_rays:
-            # misses still show the environment: blend on host via one call
-            miss = np.nonzero(~hit)[0]
+        if env_only:
+            # misses still show the environment: one jitted fill per frame
             from ngp_tpu.render.envmap import read_envmap
 
-            out[miss] = np.asarray(read_envmap(envmap, jnp.asarray(d[miss])))
+            def _env_fill(envmap, d_all, hit_mask):
+                env = read_envmap(envmap, d_all)
+                return jnp.where(hit_mask[:, None], 0.0, env)
+
+            fn = self._dp_cache.setdefault("_env_fill", jax.jit(_env_fill))
+            out = fn(envmap, jnp.asarray(d), jnp.asarray(hit))
 
         if ids_hit.size:
             sort_key = ccounts if use_seg else span
@@ -653,5 +676,12 @@ class Renderer:
                         self.model, self.config, *array_args,
                         envmap=envmap, seg_idx=seg_t, **statics
                     )
-                out[sel] = np.asarray(res)[: sel.size]
-        return jnp.asarray(out.reshape(h, w, 4))
+                sel_pad = np.full((tile,), n_rays, np.int32)  # pad rows drop
+                sel_pad[: sel.size] = sel
+                if out is None:
+                    out = _scatter_init(n_rays, jnp.asarray(sel_pad), res)
+                else:
+                    out = _scatter_rows(out, jnp.asarray(sel_pad), res)
+        if out is None:  # no hits, no envmap
+            out = jnp.zeros((n_rays, 4), jnp.float32)
+        return out.reshape(h, w, 4)
