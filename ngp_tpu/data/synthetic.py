@@ -65,12 +65,32 @@ _BLOBS = np.array(
 _SIGMA_PEAK = 300.0  # dense enough to be mostly opaque at blob centers
 
 
-def field_sigma_rgb(pos):
+def scene_blobs(name: str | None):
+    """Deterministic per-scene blob sets for the 8-scene batch protocol
+    (train.sh/eval.sh run over chair..ship like the reference's
+    train_win.bat:11); None/default gives the canonical 4-blob scene every
+    test and bench uses. Each variant: 3-6 blobs inside the unit cube's
+    central region, radii/colors seeded from the scene name."""
+    if not name or name == "default":
+        return _BLOBS
+    # stable across python hash randomization: seed from the name's bytes
+    rng = np.random.default_rng(int.from_bytes(name.encode()[:8].ljust(8, b"\0"), "little"))
+    n = int(rng.integers(3, 7))
+    blobs = []
+    for _ in range(n):
+        c = 0.5 + rng.uniform(-0.14, 0.14, 3)
+        r = float(rng.uniform(0.05, 0.13))
+        col = rng.uniform(0.1, 1.0, 3)
+        blobs.append([*c, r, *col])
+    return np.asarray(blobs, np.float32)
+
+
+def field_sigma_rgb(pos, blobs=None):
     """pos: (..., 3) scene coords -> (sigma (...,), rgb (..., 3)) linear."""
     pos = np.asarray(pos, np.float32)
     sigma = np.zeros(pos.shape[:-1], np.float32)
     rgb_acc = np.zeros(pos.shape[:-1] + (3,), np.float32)
-    for cx, cy, cz, r, cr, cg, cb in _BLOBS:
+    for cx, cy, cz, r, cr, cg, cb in (_BLOBS if blobs is None else blobs):
         d2 = ((pos - np.array([cx, cy, cz])) ** 2).sum(-1)
         w = np.exp(-0.5 * d2 / (r * r) * 4.0).astype(np.float32)
         s = _SIGMA_PEAK * w
@@ -97,7 +117,7 @@ def _linear_to_srgb_np(x):
     return np.where(x < 0.0031308, 12.92 * x, 1.055 * np.maximum(x, 0.0031308) ** 0.41666 - 0.055)
 
 
-def render_ground_truth(pose_gl, width, height, camera_angle_x, scale=0.33, offset=(0.5, 0.5, 0.5), n_steps=384):
+def render_ground_truth(pose_gl, width, height, camera_angle_x, scale=0.33, offset=(0.5, 0.5, 0.5), n_steps=384, blobs=None):
     """Dense-march the analytic field -> (H, W, 4) premultiplied linear rgba.
 
     Rays are generated through the SAME camera pipeline the framework uses
@@ -123,7 +143,7 @@ def render_ground_truth(pose_gl, width, height, camera_angle_x, scale=0.33, offs
     for i in range(n_steps):
         t = t0 + (i + 0.5) * dt
         pos = o + t[:, None] * d
-        sigma, rgb = field_sigma_rgb(pos)
+        sigma, rgb = field_sigma_rgb(pos, blobs)
         alpha = np.where(hit, 1.0 - np.exp(-sigma * dt), 0.0)
         w = alpha * trans
         rgb_out += w[:, None] * rgb
@@ -141,6 +161,7 @@ def write_synthetic_dataset(
     height: int = 128,
     camera_angle_x: float = 0.6911112070083618,
     seed: int = 0,
+    scene: str | None = None,
 ):
     """Write transforms_train.json / transforms_test.json + PNG frames.
 
@@ -153,6 +174,7 @@ def write_synthetic_dataset(
     (out / "train").mkdir(parents=True, exist_ok=True)
     (out / "test").mkdir(parents=True, exist_ok=True)
     rng = np.random.default_rng(seed)
+    blobs = scene_blobs(scene)
 
     def make_split(split, n):
         frames = []
@@ -163,7 +185,7 @@ def write_synthetic_dataset(
             phi = i * 2.399963229728653 + (0.5 if split == "test" else 0.0)
             eye = 4.0 * np.array([np.sin(theta) * np.cos(phi), np.sin(theta) * np.sin(phi), np.cos(theta)])
             pose = _look_at_pose(eye)
-            img = render_ground_truth(pose, width, height, camera_angle_x)
+            img = render_ground_truth(pose, width, height, camera_angle_x, blobs=blobs)
 
             # premultiplied linear -> straight sRGB 8-bit + alpha (PNG)
             a = img[..., 3:4]
