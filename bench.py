@@ -7,7 +7,11 @@ every call. The scene is the procedural nerf_synthetic-format dataset
 (ngp_tpu/data/synthetic.py) since no real nerf_synthetic data ships here.
 
 Headline metric: training samples/second (network-visited samples per
-wall-clock second, the reference's measured_batch_size × steps / time).
+wall-clock second, the reference's measured_batch_size × steps / time),
+measured at STEADY STATE: the converged-grid regime that covers all but the
+first few percent of the 50k-step protocol (the early noisy-dense grid is a
+transient). The converged state is cached as a /tmp snapshot so repeated
+bench runs skip the convergence phase.
 vs_baseline anchors against 1e8 samples/s — the tiny-cuda-nn-class
 single-GPU training throughput implied by the Instant-NGP paper's
 seconds-class lego training on an RTX 3090 (BASELINE.md's external anchor;
@@ -44,48 +48,120 @@ def main():
     dev = jax.devices()[0]
     print(f"# device: {dev.platform} {getattr(dev, 'device_kind', '?')}", file=sys.stderr)
 
+    # NGP_BENCH_SMOKE=1: tiny config + short phases, for exercising the bench
+    # control flow (warmup/converge/cache/resume) on CPU. The reported number
+    # is then NOT the benchmark — the driver runs without it.
+    smoke = os.environ.get("NGP_BENCH_SMOKE") == "1"
+
     # dataset cached across bench runs (generation is numpy-only, ~seconds)
-    cache = Path(tempfile.gettempdir()) / "ngp_tpu_bench_scene_v1"
+    cache = Path(tempfile.gettempdir()) / ("ngp_tpu_bench_scene_smoke" if smoke else "ngp_tpu_bench_scene_v1")
     train_json = cache / "transforms_train.json"
     if not train_json.exists():
         t0 = time.perf_counter()
         cache.mkdir(parents=True, exist_ok=True)
-        write_synthetic_dataset(cache, n_train=12, n_test=1, width=96, height=96)
+        w = 32 if smoke else 96
+        write_synthetic_dataset(cache, n_train=4 if smoke else 12, n_test=1, width=w, height=w)
         print(f"# dataset gen: {time.perf_counter()-t0:.1f}s", file=sys.stderr)
 
+    config_doc = {}  # full defaults == base.json
+    if smoke:
+        config_doc = {
+            "samlper": {"aabb_scale": 1, "grid_size": 16, "maximum_marching_steps": 128},
+            "network": {
+                "encoding": {"n_levels": 4, "log2_hashmap_size": 12, "base_resolution": 8, "desired_resolution": 64},
+                "network": {"n_neurons": 64, "n_hidden_layers": 1},
+                "dir_encoding": {"degree": 4},
+                "rgb_network": {"n_neurons": 64, "n_hidden_layers": 2},
+            },
+        }
+
+    snap_path = cache / "warm_snapshot.msgpack"
     tb = Testbed()
-    tb.load_model_config_dict({})  # full defaults == base.json
+    resumed = False
+    if snap_path.exists():
+        try:  # warm resume: skip straight to the converged-grid regime
+            tb.load_snapshot(str(snap_path))
+            resumed = True
+            print(f"# resumed warm snapshot at step {tb.training_buffer.i_step}", file=sys.stderr)
+        except Exception as e:  # stale schema etc. — fall back to fresh
+            print(f"# warm snapshot unusable ({e}); starting fresh", file=sys.stderr)
+            tb = Testbed()
+    if not resumed:
+        tb.load_model_config_dict(config_doc)
+    if smoke:
+        tb._trainer.sample_capacity = 1 << 13
     tb.load_training_data(train_json)
 
-    # warmup: let the grid bootstrap + jit compile all shapes. Keep going
-    # until the controller's shapes held steady for two consecutive calls —
-    # that guarantees the fused 16-step scan (used once shapes repeat) has
-    # compiled BEFORE the timed region.
+    target_batch = (1 << 12) if smoke else (1 << 18)
+
+    def warm_until_stable(limit_steps):
+        """Train until the controller's full shape tuple held steady for two
+        consecutive calls — then every jit the timed region will use has
+        already compiled — or until `limit_steps`."""
+        stable = 0
+        prev_shape = None
+        t0 = time.perf_counter()
+        first = tb.training_buffer.i_step + 64
+        while tb.training_buffer.i_step < first or (
+            stable < 2 and tb.training_buffer.i_step < limit_steps
+        ):
+            tb.train(16, target_batch)
+            lp = tb._loop
+            stable = stable + 1 if lp._last_shape == prev_shape else 0
+            prev_shape = lp._last_shape
+            print(
+                f"#   warm step={tb.training_buffer.i_step} n_rays={lp.n_rays_per_batch} "
+                f"cap={lp.capacity} win={lp.n_window} seg_cap={lp.n_seg_cap} stable={stable} "
+                f"measured={tb.training_buffer.measured_batch_size} t={time.perf_counter()-t0:.1f}s",
+                file=sys.stderr,
+            )
+
+    # warmup A: grid bootstrap + controller settling + jit compiles
+    warm_until_stable(tb.training_buffer.i_step + 256)
+
+    # warmup B: grid convergence. The step-~300 state still has a noisy,
+    # nearly-dense occupancy grid — a transient covering the first few percent
+    # of the reference's 50k-step protocol (train_win.bat:9). STEADY-STATE
+    # throughput, which this bench reports, is the converged-grid regime
+    # (sparse occupancy, coarse premask engaged). Converge by training on,
+    # then cache the state as a snapshot so reruns skip straight here.
+    CONVERGE_STEPS = 192 if smoke else 8192
+    BUDGET_S = 120.0 if smoke else 1200.0
     t0 = time.perf_counter()
-    stable = 0
-    prev_shape = None
-    while tb.training_buffer.i_step < 64 or (stable < 2 and tb.training_buffer.i_step < 256):
-        tb.train(16, 1 << 18)
-        # stability = the full controller shape tuple (rays/widths/window/
-        # seg-cap, trainer.py `shape`) held steady across consecutive calls,
-        # so every jit the timed region will use has already compiled
-        lp = tb._loop
-        stable = stable + 1 if lp._last_shape == prev_shape else 0
-        prev_shape = lp._last_shape
-        print(
-            f"#   warm step={tb.training_buffer.i_step} n_rays={lp.n_rays_per_batch} "
-            f"cap={lp.capacity} win={lp.n_window} stable={stable} "
-            f"measured={tb.training_buffer.measured_batch_size} t={time.perf_counter()-t0:.1f}s",
-            file=sys.stderr,
-        )
+    progressed = False
+    while (
+        tb.training_buffer.i_step < CONVERGE_STEPS
+        and time.perf_counter() - t0 < BUDGET_S
+    ):
+        tb.train(16, target_batch)
+        progressed = True
+        if tb.training_buffer.i_step % 512 == 0:
+            lp = tb._loop
+            print(
+                f"#   converge step={tb.training_buffer.i_step} win={lp.n_window} "
+                f"seg_cap={lp.n_seg_cap} measured={tb.training_buffer.measured_batch_size} "
+                f"t={time.perf_counter()-t0:.1f}s",
+                file=sys.stderr,
+            )
+    if progressed:
+        try:  # cache (atomically) for the next run — even a partial converge
+            tmp_snap = snap_path.with_suffix(".tmp")
+            tb.save_snapshot(str(tmp_snap), serialize_optimizer=True)
+            tmp_snap.replace(snap_path)
+            print(f"# warm snapshot saved at step {tb.training_buffer.i_step}", file=sys.stderr)
+        except Exception as e:
+            print(f"# warm snapshot save failed: {e}", file=sys.stderr)
+        # shapes may have shifted as the grid sparsified (premask engaging);
+        # re-settle so the timed region measures, not compiles
+        warm_until_stable(tb.training_buffer.i_step + 256)
 
     # timed region
-    n_steps = 128
+    n_steps = 32 if smoke else 128
     start_step = tb.training_buffer.i_step
     samples = 0
     t0 = time.perf_counter()
     while tb.training_buffer.i_step < start_step + n_steps:
-        tb.train(16, 1 << 18)
+        tb.train(16, target_batch)
         samples += tb.training_buffer.measured_batch_size * 16
     elapsed = time.perf_counter() - t0
     sps = samples / elapsed
@@ -126,7 +202,7 @@ def main():
 
         ds = tb._dataset
         camera = np.asarray(ds.xforms[0], np.float32)
-        res = 800
+        res = 64 if smoke else 800
         fl = float(ds.focal_length[0]) * res / ds.images.shape[2]
 
         def frame(spp_i):
@@ -155,6 +231,7 @@ def main():
                 "value": sps,
                 "unit": "samples/s",
                 "vs_baseline": sps / BASELINE_SAMPLES_PER_SEC,
+                "steady_measured_at_step": int(start_step),
                 **render_stats,
             }
         )

@@ -138,7 +138,10 @@ def main():
             print(f"  {p}: PSNR={psnr_v:.3f} SSIM={ssim_v:.3f} t={elapsed_t:.2f}s")
 
         names, psnrs, ssims, lpipss, times = zip(*rows)
-        out_rows = list(rows) + [("mean", np.mean(psnrs), np.mean(ssims), np.nanmean(lpipss), np.mean(times))]
+        # all-NaN LPIPS column (lpips unavailable in this environment) must
+        # not warn-spam the summary: report NaN for the mean without nanmean
+        lpips_mean = float(np.nanmean(lpipss)) if np.any(np.isfinite(lpipss)) else float("nan")
+        out_rows = list(rows) + [("mean", np.mean(psnrs), np.mean(ssims), lpips_mean, np.mean(times))]
         # eval_stat.xls for artifact-name parity (reference run.py:168);
         # fall back to a tab-separated table under the same name (Excel and
         # pandas both open it) when no xls writer is installed
@@ -164,7 +167,7 @@ def main():
                     f.write("\t".join(str(v) for v in r) + "\n")
         print(
             f"PSNR={np.mean(psnrs):.3f} SSIM={np.mean(ssims):.3f} "
-            f"LPIPS(VGG)={np.nanmean(lpipss):.3f} FPS={1.0/np.mean(times):.2f}"
+            f"LPIPS(VGG)={lpips_mean:.3f} FPS={1.0/np.mean(times):.2f}"
         )
 
 

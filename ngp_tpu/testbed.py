@@ -53,6 +53,8 @@ class RenderingBufferView:
 
 
 class Testbed:
+    __test__ = False  # pyngp-parity name; not a pytest suite
+
     def __init__(self, use_mesh: bool = False):
         """use_mesh=True trains data-parallel over all visible devices
         (ngp_tpu/parallel/mesh.py) — the scaling layer the reference lacks."""
@@ -121,9 +123,20 @@ class Testbed:
         self.scene_scale = scale
         self.scene_offset = tuple(offset)
         ds = self._dataset
-        density = mark_untrained_grid(
+        mark = mark_untrained_grid(
             self.config.sampler, (ds.resolution[0], ds.resolution[1]), ds.focal_length, ds.xforms
         )
+        # Merge the camera-visibility mark with the current grid instead of
+        # replacing it: on a fresh model the grid is all zeros and the merge
+        # IS the mark (reference semantics, occupancy_sampler.cu:18-61 via
+        # testbed.cu:115-124); after load_snapshot it preserves the restored
+        # densities for visible cells, so a resumed 50k-protocol run keeps
+        # its converged grid. (The reference has no resume-to-train path at
+        # all — run.py:35-44 makes load_snapshot and load_training_data
+        # mutually exclusive.) Cells untrained before but visible now reset
+        # to 0 so they become trainable.
+        cur = self._state.grid.density
+        density = jnp.where(mark < 0, mark, jnp.where(cur < 0, 0.0, cur))
         self._state = self._state._replace(grid=self._state.grid._replace(density=density))
         self._loop = TrainingLoop(self._trainer, ds)
         if getattr(self, "_pending_controller", None):
@@ -209,9 +222,12 @@ class Testbed:
             new_leaves = [jnp.asarray(np.asarray(s), l.dtype).reshape(l.shape) for l, s in zip(leaves, snap["opt_state_leaves"], strict=True)]
             opt_state = jax.tree_util.tree_unflatten(treedef, new_leaves)
         self._state = st._replace(params=params, ema_params=ema, grid=grid, opt_state=opt_state)
-        # i_step restarts at 0, like the reference (testbed.cu:92 — the config
-        # reload resets the counter even on resume)
-        self.training_buffer = TrainingBufferView()
+        # The reference restarts i_step at 0 on load (testbed.cu:92) because
+        # its snapshot doesn't carry the counter; ours does (snapshot.py), and
+        # restoring it keeps step-cadenced behavior (uniform-only grid updates
+        # before step 256, testbed.cu:196-197) and the 50k-protocol resume
+        # loop exact. Reference-format snapshots (above) still restart at 0.
+        self.training_buffer = TrainingBufferView(i_step=int(snap.get("i_step", 0)))
         # applied to the TrainingLoop created by load_training_data
         self._pending_controller = snap.get("controller")
 

@@ -32,20 +32,20 @@ def test_resume_with_optimizer_state(tmp_path):
 
     tb2 = Testbed()
     tb2.load_snapshot(str(snap))
+    # our snapshot schema carries the step counter; the resume loop and the
+    # step-cadenced grid-update behavior continue exactly where they left off
+    assert tb2.training_buffer.i_step == tb.training_buffer.i_step
     tb2._trainer.sample_capacity = 1 << 13  # match the original run's batches
     # snapshot does not carry the dataset (the reference's snapshot doesn't
-    # either, SURVEY §3.4) — reload data to continue training
+    # either, SURVEY §3.4) — reload data to continue training. Re-marking the
+    # grid must MERGE with (not clobber) the restored densities: trained cells
+    # keep their values, camera-invisible cells stay -1.
+    trained_density = np.asarray(tb2._state.grid.density)
     tb2.load_training_data(train_json)
-    # loading training data re-marks the density grid; restore the trained one
-    import jax.numpy as jnp
-
-    from ngp_tpu.train.snapshot import load_snapshot as _ls
-
-    _, snap_data = _ls(str(snap))
-    grid = tb2._state.grid._replace(density=jnp.asarray(snap_data["density_grid"]))
-    from ngp_tpu.grid.occupancy import update_occupancy
-
-    tb2._state = tb2._state._replace(grid=update_occupancy(tb2.config.sampler, grid))
+    after = np.asarray(tb2._state.grid.density)
+    vis = trained_density >= 0
+    assert np.array_equal(after[vis], trained_density[vis])
+    assert np.all(after[~vis] == -1.0)
 
     tb2.train(16, 1 << 12)
     # resumed training stays in the converged regime (no re-warmup spike);
