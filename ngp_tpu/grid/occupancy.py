@@ -295,6 +295,61 @@ def pooled_lookup(cfg: SamplerConfig, pooled, pos, mip):
     return pooled.reshape(-1)[flat]
 
 
+def packed_neighborhood(cfg: SamplerConfig, occupancy):
+    """Bit-packed 3^3 occupancy neighborhoods, (G^3,) uint32.
+
+    Word w[x*G^2 + y*G + z] holds cascade-0 occupancy of the 27 cells
+    (x+dx, y+dy, z+dz), dx/dy/dz in {-1, 0, 1}, at bit
+    (dx+1)*9 + (dy+1)*3 + (dz+1); out-of-grid neighbor bits are 0 (never
+    read — see lattice._packed_chunk_occ's clip argument).
+
+    Why: XLA TPU gathers cost per ROW (~5-7 ns, ROADMAP.md mb6), so the
+    marching cost of an 8-step lattice chunk is 8 rows of single-cell
+    occupancy. All 8 points of a chunk lie within one cell of the chunk
+    midpoint's cell whenever 3.5*dt*G <= 1 (default config: 0.76), so ONE
+    gather of the midpoint cell's packed word answers all 8 occupancy tests
+    — an 8x row reduction on the march's hot leg. Build cost is 27 shifted
+    ORs over G^3 (elementwise, ~sub-ms), paid per grid update or in-step.
+
+    aabb_scale=1 marches only (the reference's own nerf_synthetic configs all
+    run it): the per-point march mip is then constantly 0 (lattice._march_mip),
+    so only cascade 0 is packed.
+    """
+    g = cfg.grid_size
+    occ0 = jnp.pad(occupancy[0], 1)  # (G+2,)^3, zeros outside
+    word = jnp.zeros((g, g, g), jnp.uint32)
+    bit = 0
+    for dx in (0, 1, 2):
+        for dy in (0, 1, 2):
+            for dz in (0, 1, 2):
+                nb = occ0[dx : dx + g, dy : dy + g, dz : dz + g]
+                word = word | (nb.astype(jnp.uint32) << bit)
+                bit += 1
+    # the occupancy ARRAY's axes are (x, y, z) (update_occupancy transposes
+    # the linear density layout), so a direct flatten matches the
+    # (x*G + y)*G + z addressing packed_chunk_lookup uses (= occupancy_lookup
+    # at mip 0)
+    return word.reshape(-1)
+
+
+def packed_chunk_lookup(cfg: SamplerConfig, packed, pos_mid, pos):
+    """Occupancy of chunk points via ONE packed-word gather per chunk.
+
+    pos_mid (..., 3): chunk midpoint positions; pos (..., K, 3): the chunk's
+    lattice points. Returns (..., K) bool, EXACTLY occupancy_lookup(pos, 0)
+    for every point whose cell is within one cell of the midpoint's per axis
+    — guaranteed when |t - t_mid| * G <= 1 (lattice.packed_march_supported);
+    clipping both cells to the grid preserves the bound (clip is 1-Lipschitz).
+    """
+    g = cfg.grid_size
+    cm = jnp.clip(jnp.floor(pos_mid * g).astype(jnp.int32), 0, g - 1)  # (..., 3)
+    word = packed[(cm[..., 0] * g + cm[..., 1]) * g + cm[..., 2]]  # (...,) uint32
+    cp = jnp.clip(jnp.floor(pos * g).astype(jnp.int32), 0, g - 1)  # (..., K, 3)
+    off = jnp.clip(cp - cm[..., None, :], -1, 1) + 1
+    bit = (off[..., 0] * 9 + off[..., 1] * 3 + off[..., 2]).astype(jnp.uint32)
+    return ((word[..., None] >> bit) & jnp.uint32(1)).astype(bool)
+
+
 def occupancy_lookup(cfg: SamplerConfig, occupancy, pos, mip):
     """Occupancy at world positions for given mips; pos (..., 3), mip (...,).
 

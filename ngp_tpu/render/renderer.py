@@ -81,6 +81,7 @@ def _render_tile_impl(
     density_activation: str = "Exponential",
     envmap=None,
     seg_idx=None,  # (R, C) kept coarse segments (single-cascade fast path)
+    packed=None,  # (G^3,) uint32 packed 3^3 neighborhoods (packed_march_supported)
 ):
     """Render one span-tile of rays -> (R, 4) framebuffer contribution
     (premultiplied linear)."""
@@ -103,13 +104,13 @@ def _render_tile_impl(
     # (width C*8 instead of the full window).
     if seg_idx is not None:
         counts, masks, lat_all = count_samples_segments(
-            scfg, aabb, occupancy, o, d, startt, k0, seg_idx
+            scfg, aabb, occupancy, o, d, startt, k0, seg_idx, packed=packed
         )
         W = seg_idx.shape[1] * 8
         keys = jnp.where(masks & alive0[:, None], lat_all, jnp.int32(n_window))
     else:
         counts, masks = count_samples(
-            scfg, aabb, occupancy, o, d, startt, n_window, return_masks=True, k0=k0
+            scfg, aabb, occupancy, o, d, startt, n_window, return_masks=True, k0=k0, packed=packed
         )
         W = n_window
         iota = jnp.arange(n_window, dtype=jnp.int32)[None, :]
@@ -334,6 +335,7 @@ class Renderer:
     _dp_cache: dict = field(default_factory=dict)
     _prep_cache: dict = field(default_factory=dict)
     _pool_cache: dict = field(default_factory=dict)
+    _packed_cache: dict = field(default_factory=dict)
     _seg_cache: dict = field(default_factory=dict)
 
     def _prepared(self, params):
@@ -352,28 +354,29 @@ class Renderer:
             }
         return self._prep_cache["prepared"]
 
-    def _dp_render_tile(self, has_envmap: bool, has_seg: bool, **statics):
-        """shard_map'ed render_tile: rays sharded, everything else replicated."""
+    def _dp_render_tile(self, has_envmap: bool, has_seg: bool, has_packed: bool, **statics):
+        """shard_map'ed render_tile: rays sharded, everything else replicated.
+
+        Optional array extras follow the fixed positional order (envmap,
+        seg_idx, packed); each is present iff its flag is set."""
         from jax import shard_map
         from jax.sharding import PartitionSpec as P
 
-        key = (has_envmap, has_seg, tuple(sorted(statics.items())))
+        key = (has_envmap, has_seg, has_packed, tuple(sorted(statics.items())))
         if key not in self._dp_cache:
             fn = functools.partial(_render_tile_impl, self.model, self.config, **statics)
             sh, rep = P(tuple(self.mesh.axis_names)), P()  # rays over ALL mesh axes
-            if has_envmap:
-                def body(params, occupancy, o, d, k0, rid, tv, spp, fwd, org, dsc, *rest):
-                    env = rest[0]
-                    seg = rest[1] if has_seg else None
-                    return fn(params, occupancy, o, d, k0, rid, tv, spp, fwd, org, dsc,
-                              envmap=env, seg_idx=seg)
-                specs = (rep, rep, sh, sh, sh, sh, sh, rep, rep, rep, rep, rep) + ((sh,) if has_seg else ())
-            else:
-                def body(params, occupancy, o, d, k0, rid, tv, spp, fwd, org, dsc, *rest):
-                    seg = rest[0] if has_seg else None
-                    return fn(params, occupancy, o, d, k0, rid, tv, spp, fwd, org, dsc,
-                              seg_idx=seg)
-                specs = (rep, rep, sh, sh, sh, sh, sh, rep, rep, rep, rep) + ((sh,) if has_seg else ())
+
+            def body(params, occupancy, o, d, k0, rid, tv, spp, fwd, org, dsc, *rest):
+                it = iter(rest)
+                env = next(it) if has_envmap else None
+                seg = next(it) if has_seg else None
+                pck = next(it) if has_packed else None
+                return fn(params, occupancy, o, d, k0, rid, tv, spp, fwd, org, dsc,
+                          envmap=env, seg_idx=seg, packed=pck)
+
+            specs = (rep, rep, sh, sh, sh, sh, sh, rep, rep, rep, rep)
+            specs += ((rep,) if has_envmap else ()) + ((sh,) if has_seg else ()) + ((rep,) if has_packed else ())
             self._dp_cache[key] = jax.jit(
                 shard_map(body, mesh=self.mesh, in_specs=specs, out_specs=sh, check_vma=False)
             )
@@ -389,6 +392,22 @@ class Renderer:
             )
             self._pool_cache = {"arr": occupancy, "fn": fn, "pooled": fn(occupancy)}
         return self._pool_cache["pooled"]
+
+    def _packed(self, occupancy):
+        """Packed 3^3-neighborhood words for the fine march, cached per grid
+        array (identity-keyed); None when the packed march doesn't apply."""
+        from ngp_tpu.sampling.lattice import packed_march_supported
+
+        if not packed_march_supported(self.config.sampler):
+            return None
+        if self._packed_cache.get("arr") is not occupancy:
+            from ngp_tpu.grid.occupancy import packed_neighborhood
+
+            fn = self._packed_cache.get("fn") or jax.jit(
+                functools.partial(packed_neighborhood, self.config.sampler)
+            )
+            self._packed_cache = {"arr": occupancy, "fn": fn, "packed": fn(occupancy)}
+        return self._packed_cache["packed"]
 
     def _frame_geometry(self, box, occupancy, cam, w, h, focal_length, principal_point):
         """Per-frame ray classification shared by ALL spp passes.
@@ -689,15 +708,19 @@ class Renderer:
                     jnp.asarray(cam[:, 3]),
                     jnp.float32(1.0 / scene_scale),
                 )
+                packed = self._packed(occupancy)
                 if n_dev > 1 and tile % n_dev == 0:
-                    fn = self._dp_render_tile(envmap is not None, seg_t is not None, **statics)
+                    fn = self._dp_render_tile(
+                        envmap is not None, seg_t is not None, packed is not None, **statics
+                    )
                     extra = (envmap,) if envmap is not None else ()
                     extra = extra + ((seg_t,) if seg_t is not None else ())
+                    extra = extra + ((packed,) if packed is not None else ())
                     res = fn(*array_args, *extra)
                 else:
                     res = render_tile(
                         self.model, self.config, *array_args,
-                        envmap=envmap, seg_idx=seg_t, **statics
+                        envmap=envmap, seg_idx=seg_t, packed=packed, **statics
                     )
                 if out is None:
                     out = _scatter_init(n_rays, cached["sel_pad"], res)

@@ -32,6 +32,7 @@ from ngp_tpu.grid.occupancy import (
     mip_from_dt,
     mip_from_pos,
     occupancy_lookup,
+    packed_chunk_lookup,
     pooled_lookup,
     static_dt_mip,
 )
@@ -59,6 +60,34 @@ def _march_mip(cfg: SamplerConfig, pos, dt: float):
         return jnp.full(pos.shape[:-1], fl, jnp.int32)
     mip = mip_from_pos(pos, cfg.n_cascades)
     return jnp.maximum(mip, fl) if fl > 0 else mip
+
+
+def packed_march_supported(cfg: SamplerConfig) -> bool:
+    """ONE packed-neighborhood gather per 8-step chunk replaces 8 single-cell
+    occupancy gather rows (grid/occupancy.packed_neighborhood; XLA gathers
+    cost per ROW). Exact under: arithmetic lattice (constant dt), aabb_scale
+    1 (the march mip is then constantly 0 — _march_mip; the bound below
+    implies the static dt-mip floor is <= 0 too), and the chunk half-extent
+    within one fine cell — |t_point - t_mid| <= 3.5*dt and 3.5*dt*G <= 1
+    keep every point's cell within +-1 of the midpoint's per axis (default
+    config: 3.5*sqrt(3)/1024*128 = 0.76)."""
+    return (
+        cfg.cone_angle_constant == 0.0
+        and cfg.aabb_scale == 1
+        and 3.5 * cfg.min_cone_stepsize * cfg.grid_size <= 1.0
+    )
+
+
+def _packed_group_occ(cfg: SamplerConfig, packed, pos):
+    """Occupancy of lattice positions `pos` (R, W, 3) via one packed gather
+    per 8-point group. Columns must be CONSECUTIVE lattice ordinals within
+    each aligned group of _SEG: the group midpoint (ordinal offset +3.5) is
+    then the average of points 3 and 4 on the straight ray, so every point
+    sits within 3.5*dt of it — packed_march_supported's coverage bound."""
+    R, W, _ = pos.shape
+    pg = pos.reshape(R, W // _SEG, _SEG, 3)
+    pos_mid = 0.5 * (pg[:, :, 3, :] + pg[:, :, 4, :])
+    return packed_chunk_lookup(cfg, packed, pos_mid, pg).reshape(R, W)
 
 
 def segments_supported(cfg: SamplerConfig) -> bool:
@@ -104,7 +133,7 @@ def coarse_segment_mask(cfg: SamplerConfig, pooled, o, d, startt, n_seg: int, k0
     return occ
 
 
-def count_samples_segments(cfg: SamplerConfig, aabb: AABB, occupancy, o, d, startt, k0, seg_idx):
+def count_samples_segments(cfg: SamplerConfig, aabb: AABB, occupancy, o, d, startt, k0, seg_idx, packed=None):
     """Fine march restricted to pre-masked coarse segments.
 
     seg_idx: (R, C) int32 ASCENDING kept-segment ordinals (padding sentinel
@@ -130,8 +159,14 @@ def count_samples_segments(cfg: SamplerConfig, aabb: AABB, occupancy, o, d, star
     t0p = startt + k0.astype(jnp.float32) * dt
     inside0 = aabb.contains(o + t0p[:, None] * d)
     inside = aabb.contains(pos) & inside0[:, None]
-    mip = _march_mip(cfg, pos, dt)
-    occ = occupancy_lookup(cfg, occupancy, pos, mip)
+    if packed is not None:
+        # each kept segment is one aligned 8-ordinal group: ONE packed gather
+        # per (ray, segment) instead of 8 single-cell rows (exact;
+        # packed_march_supported)
+        occ = _packed_group_occ(cfg, packed, pos)
+    else:
+        mip = _march_mip(cfg, pos, dt)
+        occ = occupancy_lookup(cfg, occupancy, pos, mip)
     mask = inside & occ
     ordinal = jnp.cumsum(mask, axis=1) - mask.astype(jnp.int32)
     mask = mask & (ordinal < cfg.maximum_marching_steps)
@@ -227,7 +262,7 @@ def occupied_window_start(occ_aabb, o, d, startt, dt: float, n_lattice: int):
     return jnp.clip(jnp.where(miss, n_lattice, k0), 0, n_lattice)
 
 
-def _chunk_mask(cfg: SamplerConfig, aabb: AABB, occupancy, o, d, startt, chunk_start, taken_so_far, still_inside, k0=None):
+def _chunk_mask(cfg: SamplerConfig, aabb: AABB, occupancy, o, d, startt, chunk_start, taken_so_far, still_inside, k0=None, packed=None):
     """Occupied-sample mask for lattice points [chunk_start, chunk_start+_CHUNK).
 
     Returns (mask (R, CHUNK), t, ordinal, still_inside'). The reference's
@@ -248,12 +283,16 @@ def _chunk_mask(cfg: SamplerConfig, aabb: AABB, occupancy, o, d, startt, chunk_s
     inside = aabb.contains(pos)
     # prefix-AND: a point is reachable only if every earlier point was inside
     reachable = still_inside[:, None] & (jnp.cumprod(inside, axis=1) > 0)
-    if cfg.cone_angle_constant == 0.0:
+    if packed is not None:
+        # single gather per 8-step group (exact; packed_march_supported)
+        occ = _packed_group_occ(cfg, packed, pos)
+    elif cfg.cone_angle_constant == 0.0:
         # dt is config-static, so its mip floor is too (cu:223-230)
         mip = _march_mip(cfg, pos, dt)
+        occ = occupancy_lookup(cfg, occupancy, pos, mip)
     else:
         mip = mip_from_dt(lattice_dt(cfg, t), pos, cfg.grid_size, cfg.n_cascades)
-    occ = occupancy_lookup(cfg, occupancy, pos, mip)
+        occ = occupancy_lookup(cfg, occupancy, pos, mip)
     mask = reachable & occ
     # enforce the per-ray sample cap (the reference's `j < n_max_steps`)
     ordinal = taken_so_far[:, None] + jnp.cumsum(mask, axis=1) - mask.astype(jnp.int32)
@@ -261,7 +300,7 @@ def _chunk_mask(cfg: SamplerConfig, aabb: AABB, occupancy, o, d, startt, chunk_s
     return mask, t, ordinal, reachable[:, -1]
 
 
-def count_samples(cfg: SamplerConfig, aabb: AABB, occupancy, o, d, startt, n_window: int, return_masks: bool = False, k0=None):
+def count_samples(cfg: SamplerConfig, aabb: AABB, occupancy, o, d, startt, n_window: int, return_masks: bool = False, k0=None, packed=None):
     """Pass 1: per-ray occupied-sample counts (R,) int32.
 
     Mirrors the reference's first marching pass (occupancy_sampler.cu:389-407).
@@ -275,7 +314,7 @@ def count_samples(cfg: SamplerConfig, aabb: AABB, occupancy, o, d, startt, n_win
 
     def body(carry, chunk_idx):
         taken, still = carry
-        mask, _, _, still = _chunk_mask(cfg, aabb, occupancy, o, d, startt, chunk_idx * _CHUNK, taken, still, k0=k0)
+        mask, _, _, still = _chunk_mask(cfg, aabb, occupancy, o, d, startt, chunk_idx * _CHUNK, taken, still, k0=k0, packed=packed)
         return (taken + jnp.sum(mask, axis=1, dtype=jnp.int32), still), (mask if return_masks else None)
 
     R = o.shape[0]

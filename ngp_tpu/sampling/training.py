@@ -38,6 +38,7 @@ from ngp_tpu.sampling.lattice import (
     lattice_dt,
     lattice_t,
     occupied_window_start,
+    packed_march_supported,
 )
 from ngp_tpu.utils.aabb import AABB
 from ngp_tpu.utils.config import SamplerConfig
@@ -180,14 +181,23 @@ def generate_training_batch(
         cmask = coarse_segment_mask(cfg, pooled, o, d, startt, n_seg, k0) & hits[:, None]
         max_seg_count = jnp.max(jnp.sum(cmask, axis=1, dtype=jnp.int32))
 
+    # packed-neighborhood march (single-cascade arithmetic lattice): one
+    # uint32 gather answers 8 occupancy tests; built in-step from the grid
+    # (27 shifted ORs over G^3 — negligible next to the gathers it removes)
+    packed = None
+    if packed_march_supported(cfg):
+        from ngp_tpu.grid.occupancy import packed_neighborhood
+
+        packed = packed_neighborhood(cfg, occupancy)
+
     lat_all = None
     if seg_on:
         j_seg = jnp.arange(n_seg, dtype=jnp.int32)[None, :]
         seg_idx = jax.lax.sort(jnp.where(cmask, j_seg, jnp.int32(n_seg)), dimension=1)[:, :n_seg_cap]
-        counts, masks, lat_all = count_samples_segments(cfg, aabb, occupancy, o, d, startt, k0, seg_idx)
+        counts, masks, lat_all = count_samples_segments(cfg, aabb, occupancy, o, d, startt, k0, seg_idx, packed=packed)
         s_pad = min(s_pad, n_seg_cap * _SEG)  # counts can't exceed the kept width
     else:
-        counts, masks = count_samples(cfg, aabb, occupancy, o, d, startt, n_window, return_masks=True, k0=k0)
+        counts, masks = count_samples(cfg, aabb, occupancy, o, d, startt, n_window, return_masks=True, k0=k0, packed=packed)
     masks = masks & hits[:, None]
     counts = jnp.where(hits, counts, 0)
     n_samples = jnp.sum(counts)
