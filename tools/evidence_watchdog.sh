@@ -11,7 +11,7 @@ CKPT=${4:-/tmp/evidence_r3_ckpt.msgpack}
 LOG=${LOG:-/tmp/evidence_r3.log}
 
 cd /root/repo
-for attempt in $(seq 1 40); do
+for attempt in $(seq 1 400); do
   if [ -s "$OUT" ]; then
     echo "[watchdog] $OUT exists — done" | tee -a "$LOG"
     exit 0
