@@ -39,7 +39,63 @@ def lr_factor(step, cfg: OptimizerConfig):
     return jnp.power(cfg.decay_base, n.astype(jnp.float32))
 
 
-def create_optimizer(cfg: OptimizerConfig):
+def scale_by_adam_lazy(b1, b2, eps, lazy_fn):
+    """scale_by_adam with tcnn's zero-gradient skip on selected leaves.
+
+    tcnn's Adam kernel leaves a parameter COMPLETELY untouched when its
+    gradient is exactly zero (option `optimize_params_when_gradient_is_zero`,
+    default false): no first/second-moment decay and no update. For the hash
+    table — where each step's scatter only touches the rows the batch actually
+    sampled — this freezes unvisited rows instead of letting stale momentum
+    keep pushing them (optax's dense Adam decays m by b1 and still applies
+    m_hat/(sqrt(v_hat)+eps) forever). MLP gradients are dense and never
+    exactly zero, so only hash leaves (lazy_fn -> True) get the masked path.
+
+    State is optax.ScaleByAdamState with the standard (count, mu, nu) leaves,
+    so snapshots serialized before this change load unchanged.
+    """
+
+    def init(params):
+        z = lambda p: jnp.zeros_like(p)
+        return optax.ScaleByAdamState(
+            count=jnp.zeros([], jnp.int32),
+            mu=jax.tree_util.tree_map(z, params),
+            nu=jax.tree_util.tree_map(z, params),
+        )
+
+    def update(updates, state, params=None):
+        del params
+        count = state.count + 1
+        bc1 = 1.0 - b1 ** count.astype(jnp.float32)
+        bc2 = 1.0 - b2 ** count.astype(jnp.float32)
+
+        def upd(g, m, v, lazy):
+            new_m = b1 * m + (1.0 - b1) * g
+            new_v = b2 * v + (1.0 - b2) * g * g
+            if lazy:
+                visited = g != 0
+                new_m = jnp.where(visited, new_m, m)
+                new_v = jnp.where(visited, new_v, v)
+            out = (new_m / bc1) / (jnp.sqrt(new_v / bc2) + eps)
+            if lazy:
+                out = jnp.where(visited, out, 0.0)
+            return out, new_m, new_v
+
+        lazy_tree = lazy_fn(updates)
+        flat_u, treedef = jax.tree_util.tree_flatten(updates)
+        flat_m = treedef.flatten_up_to(state.mu)
+        flat_v = treedef.flatten_up_to(state.nu)
+        flat_l = treedef.flatten_up_to(lazy_tree)
+        outs = [upd(g, m, v, l) for g, m, v, l in zip(flat_u, flat_m, flat_v, flat_l)]
+        new_updates = jax.tree_util.tree_unflatten(treedef, [o[0] for o in outs])
+        new_mu = jax.tree_util.tree_unflatten(treedef, [o[1] for o in outs])
+        new_nu = jax.tree_util.tree_unflatten(treedef, [o[2] for o in outs])
+        return new_updates, optax.ScaleByAdamState(count=count, mu=new_mu, nu=new_nu)
+
+    return optax.GradientTransformation(init, update)
+
+
+def create_optimizer(cfg: OptimizerConfig, lazy_hash: bool = True):
     """Returns an optax GradientTransformation over the NGP param pytree."""
     adam = cfg.adam
 
@@ -53,9 +109,23 @@ def create_optimizer(cfg: OptimizerConfig):
             "rgb_mlp": [True] * len(params["rgb_mlp"]),
         }
 
+    def hash_mask(params):
+        return {
+            "hash_table": jax.tree_util.tree_map(lambda _: True, params["hash_table"]),
+            "density_mlp": [False] * len(params["density_mlp"]),
+            "rgb_mlp": [False] * len(params["rgb_mlp"]),
+        }
+
+    if lazy_hash:
+        adam_tx = scale_by_adam_lazy(adam.beta1, adam.beta2, adam.epsilon, hash_mask)
+    else:
+        adam_tx = optax.scale_by_adam(
+            b1=adam.beta1, b2=adam.beta2, eps=adam.epsilon, eps_root=0.0
+        )
+
     return optax.chain(
         optax.add_decayed_weights(adam.l2_reg, mask=mlp_mask),
-        optax.scale_by_adam(b1=adam.beta1, b2=adam.beta2, eps=adam.epsilon, eps_root=0.0),
+        adam_tx,
         optax.scale_by_learning_rate(schedule),
     )
 

@@ -37,12 +37,26 @@ def main():
     from ngp_tpu.testbed import Testbed
     from ngp_tpu.utils.color import linear_to_srgb
 
+    # The 800^2 ground-truth render is ~1h of numpy; keep a persistent copy
+    # under the repo (gitignored) so a machine reboot wiping /tmp doesn't
+    # repay it mid-protocol.
     scene = Path(f"/tmp/ngp_evidence_scene_{width}")
+    persist = Path(__file__).resolve().parent.parent / ".evidence" / f"scene_{width}"
     if not (scene / "transforms_train.json").exists():
-        scene.mkdir(parents=True, exist_ok=True)
-        t0 = time.perf_counter()
-        write_synthetic_dataset(scene, n_train=32, n_test=8, width=width, height=width)
-        print(f"# dataset gen ({width}^2, 32 train / 8 test): {time.perf_counter()-t0:.1f}s", flush=True)
+        if (persist / "transforms_test.json").exists():
+            import shutil
+
+            shutil.copytree(persist, scene, dirs_exist_ok=True)
+            print(f"# dataset restored from {persist}", flush=True)
+        else:
+            scene.mkdir(parents=True, exist_ok=True)
+            t0 = time.perf_counter()
+            write_synthetic_dataset(scene, n_train=32, n_test=8, width=width, height=width)
+            print(f"# dataset gen ({width}^2, 32 train / 8 test): {time.perf_counter()-t0:.1f}s", flush=True)
+    if not (persist / "transforms_test.json").exists():
+        import shutil
+
+        shutil.copytree(scene, persist, dirs_exist_ok=True)
 
     tb = Testbed()
     if ckpt is not None and ckpt.exists():
