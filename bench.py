@@ -95,11 +95,13 @@ def main():
     target_batch = (1 << 12) if smoke else (1 << 18)
 
     def warm_until_stable(limit_steps):
-        """Train until the controller's full shape tuple held steady for two
-        consecutive calls — then every jit the timed region will use has
-        already compiled — or until `limit_steps`."""
+        """Train until the controller's UPCOMING shape tuple (peek_shape)
+        matches the one the last call just used, twice in a row — so no
+        shape switch is pending and every jit the timed region will use has
+        already compiled — or until `limit_steps`. Comparing used-vs-used
+        instead has an off-by-one that exits right as a switch is pending
+        and puts its compile inside the timed region."""
         stable = 0
-        prev_shape = None
         t0 = time.perf_counter()
         first = tb.training_buffer.i_step + 64
         while tb.training_buffer.i_step < first or (
@@ -107,8 +109,7 @@ def main():
         ):
             tb.train(16, target_batch)
             lp = tb._loop
-            stable = stable + 1 if lp._last_shape == prev_shape else 0
-            prev_shape = lp._last_shape
+            stable = stable + 1 if lp.peek_shape(16) == lp._last_shape else 0
             print(
                 f"#   warm step={tb.training_buffer.i_step} n_rays={lp.n_rays_per_batch} "
                 f"cap={lp.capacity} win={lp.n_window} seg_cap={lp.n_seg_cap} stable={stable} "

@@ -159,7 +159,10 @@ def _make_dp_step_fn(trainer: Trainer, mesh: Mesh, n_rays_global: int, capacity:
                 bg_composite,
                 extra_buckets=extra,
                 n_rays_denom=n_rays_global,
-                loss_type=cfg.loss,
+                # honor the runtime-tweakable Testbed.loss_type override, like
+                # the single-chip step (trainer.py _semantic_key recompiles on
+                # change and this builder re-reads the attribute then)
+                loss_type=trainer.loss_type or cfg.loss,
                 transmittance_threshold=cfg.render.transmittance_threshold,
                 rgb_activation=trainer.rgb_activation,
                 density_activation=trainer.density_activation,
@@ -199,7 +202,7 @@ def _make_dp_step_fn(trainer: Trainer, mesh: Mesh, n_rays_global: int, capacity:
                 rv,
                 rgb_target,
                 bg_composite,
-                envmap_loss_type=cfg.envmap.loss or cfg.loss,
+                envmap_loss_type=cfg.envmap.loss or (trainer.loss_type or cfg.loss),
                 train_in_linear_color=cfg.render.train_in_linear_color,
                 n_rays_denom=n_rays_global,
             )

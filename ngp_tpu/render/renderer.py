@@ -409,6 +409,40 @@ class Renderer:
             self._packed_cache = {"arr": occupancy, "fn": fn, "packed": fn(occupancy)}
         return self._packed_cache["packed"]
 
+    @staticmethod
+    def _camera_rays(cam, w, h, focal_length, principal_point, off):
+        """Pixel-grid camera rays (numpy, host-side): origins + unit
+        directions for subpixel offset `off`. The single source of the
+        pixel->direction projection — render_frame (jittered passes) and
+        _frame_geometry (pixel-center classification) must agree on it for
+        the conservative-cover argument in _frame_geometry to hold."""
+        xs = (np.arange(w, dtype=np.float32) + off[0]) / w
+        ys = (np.arange(h, dtype=np.float32) + off[1]) / h
+        xy = np.stack(np.meshgrid(xs, ys, indexing="xy"), axis=-1).reshape(-1, 2)
+        d = np.stack(
+            [
+                (xy[:, 0] - principal_point[0]) * w / focal_length[0],
+                (xy[:, 1] - principal_point[1]) * h / focal_length[1],
+                np.ones((xy.shape[0],), np.float32),
+            ],
+            axis=-1,
+        ) @ cam[:, :3].T
+        # degenerate camera rows (e.g. an unset camera matrix) produce
+        # zero-length directions; keep them finite — the slab tests classify
+        # them as misses instead of NaN-ing the framebuffer
+        d /= np.maximum(np.linalg.norm(d, axis=-1, keepdims=True), 1e-12)
+        o = np.broadcast_to(cam[:, 3], d.shape).copy()
+        return o, d
+
+    @staticmethod
+    def _slab_range(lo, hi, o, d):
+        """AABB slab test (numpy): (t_enter, t_exit) per ray; hit iff
+        t_exit >= max(t_enter, near)."""
+        dd = np.where(np.abs(d) < 1e-12, 1e-12, d)
+        t1 = (lo - o) / dd
+        t2 = (hi - o) / dd
+        return np.max(np.minimum(t1, t2), axis=-1), np.min(np.maximum(t1, t2), axis=-1)
+
     def _frame_geometry(self, box, occupancy, cam, w, h, focal_length, principal_point):
         """Per-frame ray classification shared by ALL spp passes.
 
@@ -439,19 +473,7 @@ class Renderer:
         cache = self._seg_cache
         if cache.get("key") == ckey and cache.get("occ") is occupancy:
             return cache
-        xs = (np.arange(w, dtype=np.float32) + 0.5) / w
-        ys = (np.arange(h, dtype=np.float32) + 0.5) / h
-        xy = np.stack(np.meshgrid(xs, ys, indexing="xy"), axis=-1).reshape(-1, 2)
-        d = np.stack(
-            [
-                (xy[:, 0] - principal_point[0]) * w / focal_length[0],
-                (xy[:, 1] - principal_point[1]) * h / focal_length[1],
-                np.ones((xy.shape[0],), np.float32),
-            ],
-            axis=-1,
-        ) @ cam[:, :3].T
-        d /= np.maximum(np.linalg.norm(d, axis=-1, keepdims=True), 1e-12)
-        o = np.broadcast_to(cam[:, 3], d.shape).copy()
+        o, d = self._camera_rays(cam, w, h, focal_length, principal_point, (0.5, 0.5))
         n_rays = o.shape[0]
 
         # drift bound: angular offset <= 0.71 px, times the farthest box
@@ -462,15 +484,9 @@ class Renderer:
         margin = 0.71 * t_far / float(min(focal_length)) + 1.0 / scfg.grid_size
         ibox = np.stack([box[0] - margin, box[1] + margin])
 
-        dd = np.where(np.abs(d) < 1e-12, 1e-12, d)
-        t1 = (ibox[0] - o) / dd
-        t2 = (ibox[1] - o) / dd
-        occ_lo = np.max(np.minimum(t1, t2), axis=-1)
-        occ_hi = np.min(np.maximum(t1, t2), axis=-1)
+        occ_lo, occ_hi = self._slab_range(ibox[0], ibox[1], o, d)
         sb = AABB.scene(scfg.aabb_scale)
-        s_lo = np.maximum(
-            np.max(np.minimum((sb.lo - o) / dd, (sb.hi - o) / dd), axis=-1), 0.05
-        )
+        s_lo = np.maximum(self._slab_range(np.asarray(sb.lo), np.asarray(sb.hi), o, d)[0], 0.05)
         # near-axis-parallel rays produce huge nudged slab ts; clip the
         # floats into [0, n_lat] BEFORE the int cast so degenerate rays
         # (filtered by `hit` below) can't overflow int32
@@ -552,38 +568,17 @@ class Renderer:
         n_lat = n_lattice_points(scfg)
         snap = scfg.snap_to_pixel_centers_in_rendering
         off = np.asarray(ld_random_pixel_offset(0 if snap else int(spp)))
-        xs = (np.arange(w, dtype=np.float32) + off[0]) / w
-        ys = (np.arange(h, dtype=np.float32) + off[1]) / h
-        xy = np.stack(np.meshgrid(xs, ys, indexing="xy"), axis=-1).reshape(-1, 2)
-
         cam = np.asarray(camera_matrix, np.float32)
-        d_cam = np.stack(
-            [
-                (xy[:, 0] - principal_point[0]) * w / focal_length[0],
-                (xy[:, 1] - principal_point[1]) * h / focal_length[1],
-                np.ones((xy.shape[0],), np.float32),
-            ],
-            axis=-1,
-        )
-        d = d_cam @ cam[:, :3].T
-        # degenerate camera rows (e.g. an unset camera matrix) produce
-        # zero-length directions; keep them finite — the slab test below
-        # classifies them as misses instead of NaN-ing the framebuffer
-        d /= np.maximum(np.linalg.norm(d, axis=-1, keepdims=True), 1e-12)
-        o = np.broadcast_to(cam[:, 3], d.shape).copy()
+        o, d = self._camera_rays(cam, w, h, focal_length, principal_point, off)
         n_rays = o.shape[0]
 
-        dd = np.where(np.abs(d) < 1e-12, 1e-12, d)
         if scfg.cone_angle_constant != 0.0:
             # the window-start inversion assumes the arithmetic lattice; the
             # cone lattice is geometric (and much shorter), so march all of
             # it — culling only rays that miss the occupied box entirely
             box = self._occ_box(occupancy, occ_aabb)
-            t1 = (box[0] - o) / dd
-            t2 = (box[1] - o) / dd
-            hit = np.min(np.maximum(t1, t2), axis=-1) >= np.maximum(
-                np.max(np.minimum(t1, t2), axis=-1), 0.05
-            )
+            t_enter, t_exit = self._slab_range(box[0], box[1], o, d)
+            hit = t_exit >= np.maximum(t_enter, 0.05)
             k0 = np.zeros((n_rays,), np.int32)
             span = np.full((n_rays,), n_lat, np.float32)
             ccounts = seg_sorted = inv = None
@@ -672,9 +667,11 @@ class Renderer:
                         "n_window": n_window,
                         "w_eff": w_eff,
                         "seg_t": seg_t,
-                        "rays": (
+                        "sel": sel,
+                        "d_off": (float(off[0]), float(off[1])),
+                        "d_t": jnp.asarray(d_t),
+                        "rays_const": (
                             jnp.asarray(o_t),
-                            jnp.asarray(d_t),
                             jnp.asarray(k_t),
                             jnp.asarray(id_t),
                             jnp.asarray(v_t),
@@ -682,6 +679,14 @@ class Renderer:
                         "sel_pad": jnp.asarray(sel_pad),
                     }
                     tcache[s] = cached
+                if cached["d_off"] != (float(off[0]), float(off[1])):
+                    # directions depend on the per-spp subpixel jitter (snap
+                    # off): rebuild ONLY the d upload; o/k0/ids are jitter-free
+                    sel = cached["sel"]
+                    d_t = np.ones((tile, 3), np.float32)
+                    d_t[: sel.size] = d[sel]
+                    cached["d_t"] = jnp.asarray(d_t)
+                    cached["d_off"] = (float(off[0]), float(off[1]))
                 n_window, w_eff, seg_t = cached["n_window"], cached["w_eff"], cached["seg_t"]
                 # worst case: every round advances min(tile, _BUDGET//_D) rays
                 # by _D samples, so a tile smaller than the per-round ray
@@ -699,10 +704,15 @@ class Renderer:
                     rgb_activation=self.rgb_activation,
                     density_activation=self.density_activation,
                 )
+                o_dev, k_dev, id_dev, v_dev = cached["rays_const"]
                 array_args = (
                     params,
                     occupancy,
-                    *cached["rays"],
+                    o_dev,
+                    cached["d_t"],
+                    k_dev,
+                    id_dev,
+                    v_dev,
                     jnp.uint32(spp),
                     jnp.asarray(cam[:, 2]),
                     jnp.asarray(cam[:, 3]),

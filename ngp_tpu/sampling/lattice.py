@@ -123,14 +123,21 @@ def coarse_segment_mask(cfg: SamplerConfig, pooled, o, d, startt, n_seg: int, k0
     pos = o[:, None, :] + tm[..., None] * d[:, None, :]
     mip = _march_mip(cfg, pos, dt)
     occ = pooled_lookup(cfg, pooled, pos, mip)
+    maxval = jnp.max(jnp.abs(pos - 0.5), axis=-1)
     if cfg.n_cascades > 1:
-        maxval = jnp.max(jnp.abs(pos - 0.5), axis=-1)
         # upper bound of mip m's range is maxval = 2^(m-1) (mip_from_pos)
         bound = jax.lax.bitcast_convert_type((126 + mip) << 23, jnp.float32)
         near = maxval >= bound - 16.0 * dt
         mip_hi = jnp.minimum(mip + 1, cfg.n_cascades - 1)
         occ = occ | (near & pooled_lookup(cfg, pooled, pos, mip_hi))
-    return occ
+    # segments whose whole (4+1)*dt extent lies outside the scene cube cannot
+    # contribute (the fine phase masks by aabb.contains). Without this test
+    # the boundary-clipped pooled_lookup reads a boundary superblock for every
+    # post-exit midpoint — windows are sized to the occupied-box DIAGONAL, so
+    # most rays march past their cube exit, and occupancy at a cube face would
+    # flood the controller's kept-segment counts with phantom segments.
+    scene_half = 0.5 * float(cfg.aabb_scale)
+    return occ & (maxval <= scene_half + 8.0 * dt)
 
 
 def count_samples_segments(cfg: SamplerConfig, aabb: AABB, occupancy, o, d, startt, k0, seg_idx, packed=None):

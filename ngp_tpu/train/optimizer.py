@@ -95,9 +95,14 @@ def scale_by_adam_lazy(b1, b2, eps, lazy_fn):
     return optax.GradientTransformation(init, update)
 
 
-def create_optimizer(cfg: OptimizerConfig, lazy_hash: bool = True):
-    """Returns an optax GradientTransformation over the NGP param pytree."""
+def create_optimizer(cfg: OptimizerConfig, lazy_hash=None):
+    """Returns an optax GradientTransformation over the NGP param pytree.
+
+    lazy_hash defaults to tcnn's `optimize_params_when_gradient_is_zero`
+    semantics from the config (false -> skip zero-grad hash rows)."""
     adam = cfg.adam
+    if lazy_hash is None:
+        lazy_hash = not adam.optimize_params_when_gradient_is_zero
 
     def schedule(step):
         return adam.learning_rate * lr_factor(step, cfg)

@@ -471,6 +471,45 @@ class TrainingLoop:
         self._per_ray_est = None
         self._probe_next = False
 
+    # --------------------------------------------------- shape choice
+    def _choose_shape(self, n_training_steps: int, commit: bool):
+        """The full static-shape tuple the next train call will jit with.
+
+        commit=True applies the kept-segment-cap controller transition
+        (grow-fast/shrink-after-two-votes, 25% headroom, pow2 — the same
+        hysteresis style as s_short); commit=False (peek_shape) predicts it
+        without mutating, so callers like bench.py can detect a pending
+        shape switch BEFORE paying its compile inside a timed region.
+        """
+        n_long = max(self.n_rays_per_batch // 4, 1)
+        s_short = self.s_short if 0 < self.s_short < self.s_pad else 0
+        # two-level march: engage when the kept-segment cap meaningfully
+        # undercuts the full window — the same 3/4 threshold the renderer uses
+        n_seg_frame = self.n_window // 8
+        n_seg_cap_val = self.n_seg_cap
+        shrink_votes = self._seg_shrink_votes
+        if self._seg_est is not None and self._seg_est > 0:
+            want = min(1 << int(np.ceil(np.log2(max(self._seg_est * 1.25, 8)))), n_seg_frame)
+            if n_seg_cap_val == 0 or want > n_seg_cap_val or n_seg_cap_val > n_seg_frame:
+                n_seg_cap_val = want
+                shrink_votes = 0
+            elif want <= n_seg_cap_val // 2:
+                shrink_votes += 1
+                if shrink_votes >= 2:
+                    n_seg_cap_val = n_seg_cap_val // 2
+                    shrink_votes = 0
+            else:
+                shrink_votes = 0
+        if commit:
+            self.n_seg_cap = n_seg_cap_val
+            self._seg_shrink_votes = shrink_votes
+        n_seg_cap = n_seg_cap_val if 0 < n_seg_cap_val * 8 <= (3 * self.n_window) // 4 else 0
+        return (self.n_rays_per_batch, self.capacity, self.s_pad, self.n_window, s_short, n_long, n_seg_cap, n_training_steps)
+
+    def peek_shape(self, n_training_steps: int = 16):
+        """Predict the next call's shape tuple without mutating controllers."""
+        return self._choose_shape(n_training_steps, commit=False)
+
     # ------------------------------------------------- controller persistence
     def controller_state(self) -> dict:
         """Snapshot-able controller state: restoring it skips the warm-up
@@ -566,26 +605,8 @@ class TrainingLoop:
         # a quarter of the rays: on occupancy-clipped batches roughly half
         # the rays are empty, so R/4 comfortably covers the long tail and
         # lets s_short drop to the ~32-sample floor
-        n_long = max(self.n_rays_per_batch // 4, 1)
-        s_short = self.s_short if 0 < self.s_short < self.s_pad else 0
-        # two-level march: engage when the kept-segment cap (25% headroom,
-        # pow2, grow-fast/shrink-slow like s_short) meaningfully undercuts
-        # the full window — the same 3/4 threshold the renderer uses
-        n_seg_frame = self.n_window // 8
-        if self._seg_est is not None and self._seg_est > 0:
-            want = min(1 << int(np.ceil(np.log2(max(self._seg_est * 1.25, 8)))), n_seg_frame)
-            if self.n_seg_cap == 0 or want > self.n_seg_cap or self.n_seg_cap > n_seg_frame:
-                self.n_seg_cap = want
-                self._seg_shrink_votes = 0
-            elif want <= self.n_seg_cap // 2:
-                self._seg_shrink_votes += 1
-                if self._seg_shrink_votes >= 2:
-                    self.n_seg_cap = self.n_seg_cap // 2
-                    self._seg_shrink_votes = 0
-            else:
-                self._seg_shrink_votes = 0
-        n_seg_cap = self.n_seg_cap if 0 < self.n_seg_cap * 8 <= (3 * self.n_window) // 4 else 0
-        shape = (self.n_rays_per_batch, self.capacity, self.s_pad, self.n_window, s_short, n_long, n_seg_cap, n_training_steps)
+        shape = self._choose_shape(n_training_steps, commit=True)
+        (_, _, _, _, s_short, n_long, n_seg_cap, _) = shape
         # the stochastic-corner backward rebalances XLA's schedule such that
         # the 16-step fused scan exceeds HBM at compile (measured 21.2 GB vs
         # the 15.75 GB chip); per-step dispatch costs nothing measurable

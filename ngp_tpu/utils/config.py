@@ -182,6 +182,10 @@ class AdamConfig:
     beta2: float = 0.99
     epsilon: float = 1e-15
     l2_reg: float = 1e-6
+    # tcnn adam.h knob (same name/default): false = a param whose gradient is
+    # exactly zero this step is skipped entirely (no moment decay, no update).
+    # Applied to the hash-table leaves (MLP grads are dense, never zero).
+    optimize_params_when_gradient_is_zero: bool = False
 
 
 @dataclass(frozen=True)

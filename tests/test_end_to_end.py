@@ -92,6 +92,40 @@ def test_render_modes(trained_testbed, scene):
     tb.rendering_buffer.render_mode = "Shade"
 
 
+def test_spp_jitter_rebuilds_cached_ray_directions(trained_testbed, scene):
+    """With snap_to_pixel_centers_in_rendering=False each spp pass jitters the
+    subpixel offset, so the per-tile device ray cache must rebuild the
+    DIRECTION upload for every new offset (regression: the cache once reused
+    the first pass's directions for all later passes, silently losing the
+    multi-spp antialiasing)."""
+    import dataclasses
+
+    from ngp_tpu.utils.qmc import ld_random_pixel_offset
+
+    tb = trained_testbed
+    _, test_json = scene
+    doc = json.loads(open(test_json).read())
+    pose = np.asarray(doc["frames"][0]["transform_matrix"], np.float32)[:3, :4]
+    tb.set_nerf_camera_matrix(pose)
+    r = tb._renderer
+    old_cfg = r.config
+    r.config = dataclasses.replace(
+        old_cfg,
+        sampler=dataclasses.replace(old_cfg.sampler, snap_to_pixel_centers_in_rendering=False),
+    )
+    try:
+        tb.render(32, 32, spp=2, to_srgb=False)  # passes spp=0 then spp=1
+        tiles = r._seg_cache.get("tiles", {})
+        assert tiles, "tile cache unexpectedly empty"
+        off1 = tuple(float(v) for v in np.asarray(ld_random_pixel_offset(1)))
+        for c in tiles.values():
+            # the cache must now carry pass-1's offset, not pass-0's
+            assert c["d_off"] == off1
+    finally:
+        r.config = old_cfg
+        r._seg_cache.clear()
+
+
 def test_snapshot_roundtrip_exact_render(trained_testbed, scene, tmp_path):
     tb = trained_testbed
     _, test_json = scene

@@ -18,9 +18,35 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 import numpy as np
 
+# "baseline" pins every A/B'd flag to its OFF state explicitly —
+# stochastic_corner_backward now DEFAULTS to True, so `{}` would silently
+# run the identical config in both arms.
 OVERRIDES = {
-    "baseline": {},
+    "baseline": {"network": {"encoding": {"stochastic_corner_backward": False}}},
     "stoch_corner": {"network": {"encoding": {"stochastic_corner_backward": True}}},
+    # a partial "optimizer" doc REPLACES the whole stack, so spell out the
+    # base.json values with only the zero-grad knob flipped (dense Adam)
+    "lazy_adam_off": {
+        "optimizer": {
+            "otype": "Ema",
+            "decay": 0.95,
+            "nested": {
+                "otype": "ExponentialDecay",
+                "decay_start": 20000,
+                "decay_interval": 10000,
+                "decay_base": 0.33,
+                "nested": {
+                    "otype": "Adam",
+                    "learning_rate": 1e-2,
+                    "beta1": 0.9,
+                    "beta2": 0.99,
+                    "epsilon": 1e-15,
+                    "l2_reg": 1e-6,
+                    "optimize_params_when_gradient_is_zero": True,
+                },
+            },
+        }
+    },
 }
 
 

@@ -28,5 +28,5 @@ for attempt in $(seq 1 400); do
   [ -s "$OUT" ] && exit 0
   sleep 60
 done
-echo "[watchdog] gave up after 40 attempts" | tee -a "$LOG"
+echo "[watchdog] gave up after 400 attempts" | tee -a "$LOG"
 exit 1
