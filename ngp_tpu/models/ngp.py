@@ -108,17 +108,20 @@ class NGPModel:
         cfg = self.config.density_mlp
         return mlp_apply(params["density_mlp"], enc, cfg.activation, cfg.output_activation)
 
-    def rgbsigma_raw(self, params, pos, warped_dir):
+    def rgbsigma_raw(self, params, pos, warped_dir, remat_heads: bool = True):
         """(N,3),(N,3) -> raw (rgb (N,3), sigma (N,)) pre-activation.
 
         Reference: NGPNetwork::inference_mixed_precision (ngp_network.h:224)
         -> assemble_rgbd (h:68): output = [rgb_net(concat(density_out, SH)),
         density_out[0]].
 
-        The MLP heads run under jax.checkpoint: saving (N, 64) hidden
-        activations for the backward pass dominated training-step memory on
-        TPU; recomputing them costs negligible MXU time. Only the hash
-        encoding output (N, L*F) is saved.
+        `remat_heads` runs the MLP heads under jax.checkpoint: inside the
+        fused multi-step train scan, saving the (N, 64) hidden activations
+        for every inner step's backward dominated step memory on TPU, and
+        recomputing them costs negligible MXU time. Per-step-dispatch
+        callers pass False — one step's activations are ~130 MB, and
+        skipping the recompute removes a full heads forward from the
+        backward pass. Inference (packed params) never remats.
         """
         enc = self._encode_pos(params, pos)
         sh = sh_encode(warped_dir, self.config.sh_degree)
@@ -131,9 +134,10 @@ class NGPModel:
             rgb_raw = mlp_apply(mlp_params["rgb_mlp"], rgb_in, rcfg.activation, rcfg.output_activation)
             return rgb_raw, density_out[..., 0]
 
-        if "hash_packed" not in params:
-            # training path: rematerialize the (N, 64) hidden activations in
-            # the backward (dominates step memory; recompute is ~free MXU)
+        if "hash_packed" not in params and remat_heads:
+            # fused-scan training path: rematerialize the (N, 64) hidden
+            # activations in the backward (dominates multi-step memory;
+            # recompute is ~free MXU)
             heads = jax.checkpoint(heads)
         return heads({"density_mlp": params["density_mlp"], "rgb_mlp": params["rgb_mlp"]}, enc, sh)
 

@@ -68,7 +68,7 @@ def _global_index(mesh: Mesh):
     return idx
 
 
-def _make_dp_step_fn(trainer: Trainer, mesh: Mesh, n_rays_global: int, capacity: int | None = None, s_pad: int = 1024, n_window: int = 0, s_short: int = 0, n_long: int = 0, n_seg_cap: int = 0):
+def _make_dp_step_fn(trainer: Trainer, mesh: Mesh, n_rays_global: int, capacity: int | None = None, s_pad: int = 1024, n_window: int = 0, s_short: int = 0, n_long: int = 0, n_seg_cap: int = 0, remat_heads: bool = True):
     """Per-device step body (must run inside shard_map)."""
     cfg = trainer.config
     scfg = cfg.sampler
@@ -136,7 +136,7 @@ def _make_dp_step_fn(trainer: Trainer, mesh: Mesh, n_rays_global: int, capacity:
         rgb_target = jax.lax.stop_gradient(rgb_target)
 
         def loss_fn(params):
-            rgb_raw, sigma_raw = model.rgbsigma_raw(params, batch.pos, batch.dirs)
+            rgb_raw, sigma_raw = model.rgbsigma_raw(params, batch.pos, batch.dirs, remat_heads=remat_heads)
             extra = ()
             if batch.layout_long is not None:
                 bg_long = bg_composite[batch.sel_long] if bg_composite.ndim == 2 else bg_composite
@@ -232,7 +232,8 @@ def _make_dp_step_fn(trainer: Trainer, mesh: Mesh, n_rays_global: int, capacity:
 
 def make_dp_train_step(trainer: Trainer, mesh: Mesh, n_rays_global: int, capacity: int | None = None, s_pad: int = 1024, n_window: int = 0, s_short: int = 0, n_long: int = 0, n_seg_cap: int = 0):
     """Single sharded train step (rays over "data", psum grads)."""
-    step_fn = _make_dp_step_fn(trainer, mesh, n_rays_global, capacity, s_pad, n_window, s_short, n_long, n_seg_cap)
+    # per-step dispatch: skip the heads remat (see trainer.train_step)
+    step_fn = _make_dp_step_fn(trainer, mesh, n_rays_global, capacity, s_pad, n_window, s_short, n_long, n_seg_cap, remat_heads=False)
     rep = P()
     sharded = shard_map(
         step_fn,

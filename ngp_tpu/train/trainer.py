@@ -128,7 +128,7 @@ class Trainer:
         )
 
     # ----------------------------------------------------------- train step
-    def _train_step_fn(self, n_rays: int, capacity: int, s_pad: int, n_window: int = 0, s_short: int = 0, n_long: int = 0, n_seg_cap: int = 0):
+    def _train_step_fn(self, n_rays: int, capacity: int, s_pad: int, n_window: int = 0, s_short: int = 0, n_long: int = 0, n_seg_cap: int = 0, remat_heads: bool = True):
         cfg = self.config
         scfg = cfg.sampler
         model = self.model
@@ -187,7 +187,7 @@ class Trainer:
             rgb_target = jax.lax.stop_gradient(rgb_target)
 
             def loss_fn(params):
-                rgb_raw, sigma_raw = model.rgbsigma_raw(params, batch.pos, batch.dirs)
+                rgb_raw, sigma_raw = model.rgbsigma_raw(params, batch.pos, batch.dirs, remat_heads=remat_heads)
                 extra = ()
                 if batch.layout_long is not None:
                     bg_long = bg_composite[batch.sel_long] if bg_composite.ndim == 2 else bg_composite
@@ -300,7 +300,9 @@ class Trainer:
 
                 self._cache[key] = make_dp_train_call(self, self.mesh, n_rays, capacity, s_pad, n_steps, n_window=n_window, s_short=s_short, n_long=n_long, n_seg_cap=n_seg_cap)
             else:
-                step_fn = self._train_step_fn(n_rays, capacity, s_pad, n_window, s_short, n_long, n_seg_cap)
+                # the fused scan keeps every inner step's activations in
+                # flight — remat the heads there (per-step dispatch skips it)
+                step_fn = self._train_step_fn(n_rays, capacity, s_pad, n_window, s_short, n_long, n_seg_cap, remat_heads=True)
 
                 def call_fn(state, images, xforms, focal_length, shift0):
                     def body(st, i):
@@ -326,8 +328,10 @@ class Trainer:
 
                 self._cache[key] = make_dp_train_step(self, self.mesh, n_rays, capacity, s_pad, n_window=n_window, s_short=s_short, n_long=n_long, n_seg_cap=n_seg_cap)
             else:
+                # single-step dispatch: one step's saved head activations are
+                # ~130 MB — skip the remat, saving a heads forward in the bwd
                 self._cache[key] = jax.jit(
-                    self._train_step_fn(n_rays, capacity, s_pad, n_window, s_short, n_long, n_seg_cap), static_argnames=(), donate_argnums=(0,)
+                    self._train_step_fn(n_rays, capacity, s_pad, n_window, s_short, n_long, n_seg_cap, remat_heads=False), static_argnames=(), donate_argnums=(0,)
                 )
         return self._cache[key]
 
