@@ -261,10 +261,10 @@ def pooled_occupancy(cfg: SamplerConfig, occupancy):
     contains no occupied sample. The slack the halo must absorb, measured at
     the midpoint's mip where a fine cell is 2^mip/G wide and worst at mip 0
     with dt = sqrt(3)/1024 ~ 0.22 cells: segment half-extent (4+1)*dt ~ 1.1
-    cells (the +1 covers per-spp march-start jitter < dt), plus the
-    sub-pixel ray drift of later spp passes reusing one coarse pass
-    (~1 px / focal_length lateral at the far end, < 0.5 cells) — < 2 cells
-    total, so _HALO = 3 is strictly conservative with margin. The fine pass
+    cells (the +1 covers per-spp march-start jitter < dt; the coarse pass
+    runs on each pass's exact rays — renderer._frame_geometry — so there is
+    no cross-pass ray drift to absorb) — well under 2 cells total, so
+    _HALO = 3 is strictly conservative with margin. The fine pass
     re-tests survivors exactly, so false positives only add work, never
     change results. (The reference has no analogue — its per-thread DDA
     skips empty cells serially, occupancy_sampler.cu:287-308; on TPU the

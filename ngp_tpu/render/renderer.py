@@ -90,7 +90,6 @@ def _render_tile_impl(
     dt = scfg.min_cone_stepsize
     thresh = config.render.transmittance_threshold
     R = o.shape[0]
-    A = max(min(_BUDGET // _D, R), 1)
 
     # ray init (init_rays_with_payload_kernel_nerf, cu:451-503): rendering
     # near plane 0.05, per-spp ld jitter on the march start (cu:529)
@@ -203,10 +202,12 @@ def _render_tile_impl(
         jnp.zeros((R,), jnp.int32),  # processed (Cost mode)
         counts > 0,
     )
-    # stage list: deduplicated cascade depths capped at the window length
+    # stage list: deduplicated cascade depths capped at the number of lattice
+    # ordinals a ray can actually hold (W = C*8 on the segment path, where
+    # the sentinel n_window is frame-constant and far wider than the tile)
     depths = []
     for D_k in _D_CASCADE:
-        D_k = min(D_k, n_window)
+        D_k = min(D_k, W)
         if not depths or D_k > depths[-1]:
             depths.append(D_k)
     for si, D_k in enumerate(depths):
@@ -282,10 +283,11 @@ def _scatter_init(n_rays, sel, res):
 
 @functools.partial(jax.jit, static_argnames=("config", "n_seg"))
 def _coarse_pass(config, pooled, o, d, t0, k0, n_seg):
-    """Per-frame coarse march: (R,) kept-segment counts + (R, n_seg) sorted
-    kept-segment ordinals (padding sentinel n_seg). Computed ONCE at zero
-    march jitter and reused by every spp pass — the pooled grid's dilation
-    absorbs the per-spp jitter and sub-pixel ray drift (lattice.py)."""
+    """Per-pass coarse march: (R,) kept-segment counts + (R, n_seg) sorted
+    kept-segment ordinals (padding sentinel n_seg). Runs on the pass's exact
+    rays at zero march jitter; the pooled grid's halo absorbs the per-spp
+    march-start jitter (< dt; lattice.py). With pixel snapping (default) the
+    rays — and so this result — are identical across passes and cached."""
     cmask = coarse_segment_mask(config.sampler, pooled, o, d, t0, n_seg, k0)
     j = jnp.arange(n_seg, dtype=jnp.int32)[None, :]
     keys = jnp.where(cmask, j, jnp.int32(n_seg))
@@ -443,21 +445,20 @@ class Renderer:
         t2 = (hi - o) / dd
         return np.max(np.minimum(t1, t2), axis=-1), np.min(np.maximum(t1, t2), axis=-1)
 
-    def _frame_geometry(self, box, occupancy, cam, w, h, focal_length, principal_point):
-        """Per-frame ray classification shared by ALL spp passes.
+    def _frame_geometry(self, box, occupancy, cam, w, h, focal_length, principal_point, off):
+        """Per-frame ray classification (hit/k0/span + coarse segment lists).
 
-        Computed from pixel-CENTER rays against the occupied box inflated by
-        the maximum center-to-jittered-ray drift (<= 0.71 px of angular
-        offset times the farthest box distance) plus one fine cell — so a
-        jittered ray of ANY spp pass that intersects the true box is
-        guaranteed `hit` here, its k0 (2-step slack) starts at or before its
-        true window, and its span (+4 slack) covers it. The per-pass fine
-        march re-tests exactly; the only effect of the inflation is a few
-        extra empty lattice steps on silhouette rays. The kept-segment lists
-        (coarse pooled-grid march, _coarse_pass) are likewise conservative
-        for every pass: pooled_occupancy's _HALO absorbs the same drift.
-        Rays with zero kept segments provably sample nothing in ANY pass and
-        are culled from `hit` outright.
+        Computed from the EXACT rays of subpixel offset `off` — the same rays
+        the compositing pass marches — so classification is exact up to the
+        per-spp march-start jitter (< dt along the ray), which the k0 slack
+        (2 steps), the span slack (+4), the box inflation below, and
+        pooled_occupancy's _HALO all absorb. With
+        snap_to_pixel_centers_in_rendering (the default) `off` is the pixel
+        center for every pass and the whole computation is shared frame-wide;
+        with snapping off each spp pass recomputes it for its own jittered
+        rays (the reference re-initializes rays per pass too, cu:451-503) —
+        correctness is not traded for the cache. Rays with zero kept segments
+        provably sample nothing and are culled from `hit` outright.
         """
         scfg = self.config.sampler
         dt = scfg.min_cone_stepsize
@@ -469,19 +470,17 @@ class Renderer:
             h,
             tuple(focal_length),
             tuple(principal_point),
+            (float(off[0]), float(off[1])),
         )
         cache = self._seg_cache
         if cache.get("key") == ckey and cache.get("occ") is occupancy:
             return cache
-        o, d = self._camera_rays(cam, w, h, focal_length, principal_point, (0.5, 0.5))
+        o, d = self._camera_rays(cam, w, h, focal_length, principal_point, off)
         n_rays = o.shape[0]
 
-        # drift bound: angular offset <= 0.71 px, times the farthest box
-        # corner distance, plus one finest-mip cell of margin
-        t_far = float(np.linalg.norm(cam[:, 3] - 0.5 * (box[0] + box[1]))) + float(
-            np.linalg.norm(box[1] - box[0])
-        )
-        margin = 0.71 * t_far / float(min(focal_length)) + 1.0 / scfg.grid_size
+        # inflate the occupied box by the march-jitter drift (< dt) plus one
+        # finest-mip cell of margin so boundary samples stay classified `hit`
+        margin = dt + 1.0 / scfg.grid_size
         ibox = np.stack([box[0] - margin, box[1] + margin])
 
         occ_lo, occ_hi = self._slab_range(ibox[0], ibox[1], o, d)
@@ -585,12 +584,11 @@ class Renderer:
             n_seg_frame = 0
         else:
             # frame geometry (hit/k0/span + coarse segment lists) is computed
-            # ONCE per (camera, resolution, grid) from pixel-CENTER rays
-            # against a drift-inflated occupied box, then shared by every spp
-            # pass — see _frame_geometry for the conservativeness argument
+            # from THIS pass's exact rays; with pixel snapping (default) the
+            # offset is constant so every spp pass shares one computation
             box = self._occ_box(occupancy, occ_aabb)
             geo = self._frame_geometry(
-                box, occupancy, cam, w, h, focal_length, principal_point
+                box, occupancy, cam, w, h, focal_length, principal_point, off
             )
             hit, k0, span = geo["hit"], geo["k0"], geo["span"]
             ccounts, seg_sorted = geo["ccounts"], geo["seg_sorted"]

@@ -103,10 +103,9 @@ def coarse_segment_mask(cfg: SamplerConfig, pooled, o, d, startt, n_seg: int, k0
     occupied sample — a conservative superset via the HALO-pooled grid
     (grid/occupancy.pooled_occupancy): one lookup at the segment midpoint
     covers every fine point within _HALO (3) fine cells of the midpoint's
-    superblock, which absorbs the (4+1)*dt half-extent (march jitter < dt
-    included) and the sub-pixel ray drift of later spp passes (< 2 cells
-    total; see pooled_occupancy). False positives only cost fine-phase
-    work; the fine phase re-tests exactly.
+    superblock, which absorbs the (4+1)*dt half-extent (march-start jitter
+    < dt included; see pooled_occupancy). False positives only cost
+    fine-phase work; the fine phase re-tests exactly.
 
     Cascades: occupancy is monotone in mip — update_grid_bitfield OR-merges
     the 2x-pooled finer cascade into each coarser one's central octant
