@@ -76,15 +76,22 @@ def main():
         }
 
     snap_path = cache / "warm_snapshot.msgpack"
+    # /tmp is wiped on machine restarts; a second copy rides the (gitignored)
+    # repo .evidence dir so a reboot doesn't cost the ~20 min converge phase
+    persist_snap = Path(__file__).resolve().parent / ".evidence" / (
+        "bench_warm_smoke.msgpack" if smoke else "bench_warm.msgpack"
+    )
     tb = Testbed()
     resumed = False
-    if snap_path.exists():
+    for cand in (snap_path, persist_snap):
+        if resumed or not cand.exists():
+            continue
         try:  # warm resume: skip straight to the converged-grid regime
-            tb.load_snapshot(str(snap_path))
+            tb.load_snapshot(str(cand))
             resumed = True
-            print(f"# resumed warm snapshot at step {tb.training_buffer.i_step}", file=sys.stderr)
+            print(f"# resumed warm snapshot ({cand}) at step {tb.training_buffer.i_step}", file=sys.stderr)
         except Exception as e:  # stale schema etc. — fall back to fresh
-            print(f"# warm snapshot unusable ({e}); starting fresh", file=sys.stderr)
+            print(f"# warm snapshot {cand} unusable ({e}); starting fresh", file=sys.stderr)
             tb = Testbed()
     if not resumed:
         tb.load_model_config_dict(config_doc)
@@ -148,6 +155,10 @@ def main():
         try:  # cache (atomically) for the next run — even a partial converge
             tmp_snap = snap_path.with_suffix(".tmp")
             tb.save_snapshot(str(tmp_snap), serialize_optimizer=True)
+            persist_snap.parent.mkdir(parents=True, exist_ok=True)
+            import shutil
+
+            shutil.copyfile(tmp_snap, persist_snap)
             tmp_snap.replace(snap_path)
             print(f"# warm snapshot saved at step {tb.training_buffer.i_step}", file=sys.stderr)
         except Exception as e:
