@@ -229,10 +229,11 @@ def main():
             np.asarray(frame(s))
         t_frame = time.perf_counter() - t0
         render_stats = {
-            "render_800_spp8_s": t_frame,
+            "render_res": res,
+            "render_spp8_s": t_frame,
             "render_fps": 1.0 / t_frame,
         }
-        print(f"# converged-grid render: 800^2 spp-8 frame {t_frame:.2f}s", file=sys.stderr)
+        print(f"# converged-grid render: {res}^2 spp-8 frame {t_frame:.2f}s", file=sys.stderr)
     except Exception as e:  # the headline metric must survive a render failure
         print(f"# converged-grid render benchmark failed: {e}", file=sys.stderr)
 
