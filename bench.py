@@ -36,11 +36,9 @@ def main():
     import jax
     import numpy as np
 
-    try:  # persist compiled executables across bench runs (big warmup saver)
-        jax.config.update("jax_compilation_cache_dir", "/tmp/ngp_tpu_jax_cache")
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
-    except Exception as e:  # cache is an optimization only
-        print(f"# compilation cache unavailable: {e}", file=sys.stderr)
+    from ngp_tpu.utils.compile_cache import enable_persistent_compile_cache
+
+    enable_persistent_compile_cache()  # big warmup saver across bench runs
 
     from ngp_tpu.data.synthetic import write_synthetic_dataset
     from ngp_tpu.testbed import Testbed
@@ -217,16 +215,28 @@ def main():
         res = 64 if smoke else 800
         fl = float(ds.focal_length[0]) * res / ds.images.shape[2]
 
-        def frame(spp_i):
-            return tb._renderer.render_frame(
-                tb._state.ema_params, grid.occupancy, camera, (res, res),
-                (fl, fl), (0.5, 0.5), spp_i, occ_aabb=grid.occ_aabb,
-            )
+        batch = tb._renderer.can_batch_spp()
 
-        np.asarray(frame(0))  # compile + warm
+        def frame_spp8():
+            if batch:  # all 8 passes in one device program per tile
+                return np.asarray(
+                    tb._renderer.render_frame(
+                        tb._state.ema_params, grid.occupancy, camera, (res, res),
+                        (fl, fl), (0.5, 0.5), 0, occ_aabb=grid.occ_aabb, n_spp=8,
+                    )
+                )
+            for s in range(8):
+                out = np.asarray(
+                    tb._renderer.render_frame(
+                        tb._state.ema_params, grid.occupancy, camera, (res, res),
+                        (fl, fl), (0.5, 0.5), s, occ_aabb=grid.occ_aabb,
+                    )
+                )
+            return out
+
+        frame_spp8()  # compile + warm
         t0 = time.perf_counter()
-        for s in range(8):
-            np.asarray(frame(s))
+        frame_spp8()
         t_frame = time.perf_counter() - t0
         render_stats = {
             "render_res": res,

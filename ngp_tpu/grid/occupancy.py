@@ -350,6 +350,48 @@ def packed_chunk_lookup(cfg: SamplerConfig, packed, pos_mid, pos):
     return ((word[..., None] >> bit) & jnp.uint32(1)).astype(bool)
 
 
+def packed_cover_lookup(cfg: SamplerConfig, packed, pos_mid, pos, pos2):
+    """ANY-occupied over the cell box spanned by segment [pos, pos2], via ONE
+    packed-word gather per chunk (same addressing as packed_chunk_lookup).
+
+    pos_mid (..., 3): chunk midpoints; pos/pos2 (..., K, 3): segment
+    endpoints per lattice point. A straight segment's per-axis cell
+    coordinate is monotone, so every cell it touches lies in the axis-
+    aligned box between cell(pos) and cell(pos2); the box's 3^3-neighborhood
+    bits are tested with one tensor-product bit mask (<= 15 int ops, no
+    extra gathers). Exact superset of occupancy along the segment whenever
+    both endpoint cells are within one cell of the midpoint's per axis —
+    lattice.jitter_cover_supported's 4.5*dt*G <= 1 bound.
+    """
+    g = cfg.grid_size
+    cm = jnp.clip(jnp.floor(pos_mid * g).astype(jnp.int32), 0, g - 1)
+    word = packed[(cm[..., 0] * g + cm[..., 1]) * g + cm[..., 2]]  # (...,) uint32
+    cp = jnp.clip(jnp.floor(pos * g).astype(jnp.int32), 0, g - 1)
+    cq = jnp.clip(jnp.floor(pos2 * g).astype(jnp.int32), 0, g - 1)
+    off_lo = jnp.clip(jnp.minimum(cp, cq) - cm[..., None, :], -1, 1) + 1
+    off_hi = jnp.clip(jnp.maximum(cp, cq) - cm[..., None, :], -1, 1) + 1
+    one = jnp.uint32(1)
+    # per-axis 3-bit range masks: bits [lo, hi] of {0,1,2}
+    def rng(lo, hi):
+        return ((one << (hi + 1).astype(jnp.uint32)) - one) & ~((one << lo.astype(jnp.uint32)) - one)
+
+    mx = rng(off_lo[..., 0], off_hi[..., 0])
+    my = rng(off_lo[..., 1], off_hi[..., 1])
+    mz = rng(off_lo[..., 2], off_hi[..., 2])
+    # tensor product into the 27-bit neighborhood layout (bit = ox*9+oy*3+oz)
+    myz = (
+        jnp.where(my & one != 0, mz, jnp.uint32(0))
+        | jnp.where((my >> 1) & one != 0, mz << 3, jnp.uint32(0))
+        | jnp.where((my >> 2) & one != 0, mz << 6, jnp.uint32(0))
+    )
+    box = (
+        jnp.where(mx & one != 0, myz, jnp.uint32(0))
+        | jnp.where((mx >> 1) & one != 0, myz << 9, jnp.uint32(0))
+        | jnp.where((mx >> 2) & one != 0, myz << 18, jnp.uint32(0))
+    )
+    return (word[..., None] & box) != 0
+
+
 def occupancy_lookup(cfg: SamplerConfig, occupancy, pos, mip):
     """Occupancy at world positions for given mips; pos (..., 3), mip (...,).
 

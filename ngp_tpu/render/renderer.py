@@ -49,8 +49,13 @@ from ngp_tpu.utils.qmc import ld_random_pixel_offset, ld_random_val
 
 RENDER_MODES = ("AO", "Shade", "Normals", "Depth", "Distance", "Stepsize", "Cost")
 
-_BUDGET = 1 << 17  # network samples per compositing round (A * D)
+_BUDGET = 1 << 18  # network samples per compositing round (A * D)
 _D = 16  # samples per ray per round (reference marches 1..8, testbed.cu:546)
+# sentinel for "no sample" lattice ordinals on the segment path: any value
+# above every real k0-relative ordinal works, and a FIXED one keeps the
+# frame's segment count out of the executable cache key (one compile serves
+# every frame geometry; real ordinals are < n_lattice_points << 2^20)
+_SENTINEL = 1 << 20
 # depth cascade: once few rays remain alive, advance each by more samples per
 # round so the fixed (A*D = _BUDGET) network batch stays full of VALID work —
 # the TPU analogue of the reference's adaptive n_steps = clamp(n_pixels /
@@ -73,74 +78,116 @@ def _render_tile_impl(
     camera_fwd,  # (3,)
     camera_origin,  # (3,)
     depth_scale,  # () f32
+    n_rounds_max=None,  # () int32 TRACED round bound (not a cache-key shape)
     render_mode: str = "Shade",
     n_window: int = 128,
-    n_rounds_max: int = 64,
     train_in_linear_color: bool = False,
     rgb_activation: str = "Logistic",
     density_activation: str = "Exponential",
     envmap=None,
     seg_idx=None,  # (R, C) kept coarse segments (single-cascade fast path)
     packed=None,  # (G^3,) uint32 packed 3^3 neighborhoods (packed_march_supported)
+    n_spp: int = 1,  # passes composited in THIS call (shared march)
+    accum_space: str = "linear",  # pass-mean space for n_spp > 1
 ):
     """Render one span-tile of rays -> (R, 4) framebuffer contribution
-    (premultiplied linear)."""
+    (premultiplied linear).
+
+    n_spp > 1 composites that many spp passes in ONE call: the march runs
+    once in jitter-cover mode (a conservative superset of every pass's exact
+    occupied set — lattice.count_samples_segments), each pass becomes R
+    virtual rays at its own ld-jittered march start, all n_spp*R virtual
+    rays share one budgeted while_loop, and the result is the passes' mean
+    in `accum_space` (exactly render/buffer.accumulate over equal frames).
+    Requires jitter_cover_supported when marching (callers gate); spp is the
+    FIRST pass index. The reference re-marches per pass (testbed.cu:479),
+    paying its march 8x per frame — here one march serves all passes.
+    """
     scfg = config.sampler
     aabb = AABB.scene(scfg.aabb_scale)
     dt = scfg.min_cone_stepsize
     thresh = config.render.transmittance_threshold
     R = o.shape[0]
+    V = n_spp * R  # virtual rays: vr = s * R + r
+    n_rounds_max = jnp.asarray(64 if n_rounds_max is None else n_rounds_max, jnp.int32)
 
     # ray init (init_rays_with_payload_kernel_nerf, cu:451-503): rendering
     # near plane 0.05, per-spp ld jitter on the march start (cu:529)
     tmin, tmax = aabb.ray_intersect(o, d)
     t0 = jnp.maximum(tmin, 0.05) + 1e-6
     alive0 = aabb.contains(o + d * t0[:, None]) & tile_valid
-    startt = t0 + ld_random_val(spp, ray_id.astype(jnp.uint32) * jnp.uint32(786433)) * dt
+    seed = ray_id.astype(jnp.uint32) * jnp.uint32(786433)
+    if n_spp == 1:
+        startt_v = t0 + ld_random_val(spp, seed) * dt  # (R,) == (V,)
+        startt_march = startt_v
+        cover = False
+    else:
+        jit_s = jnp.stack([ld_random_val(spp + jnp.uint32(s), seed) for s in range(n_spp)])
+        startt_v = (t0[None, :] + jit_s * dt).reshape(-1)  # (V,)
+        startt_march = t0  # unjittered; the cover mask absorbs [0, dt)
+        cover = True
 
     # ONE marching pass: occupied window ordinals, padded per ray. With
     # seg_idx the march touches only the pre-masked coarse segments
     # (width C*8 instead of the full window).
     if seg_idx is not None:
         counts, masks, lat_all = count_samples_segments(
-            scfg, aabb, occupancy, o, d, startt, k0, seg_idx, packed=packed
+            scfg, aabb, occupancy, o, d, startt_march, k0, seg_idx,
+            packed=packed, jitter_cover=cover,
         )
         W = seg_idx.shape[1] * 8
-        keys = jnp.where(masks & alive0[:, None], lat_all, jnp.int32(n_window))
+        sentinel = _SENTINEL  # frame-size-independent (callers pass n_window=0)
+        keys = jnp.where(masks & alive0[:, None], lat_all, jnp.int32(sentinel))
     else:
         counts, masks = count_samples(
-            scfg, aabb, occupancy, o, d, startt, n_window, return_masks=True, k0=k0, packed=packed
+            scfg, aabb, occupancy, o, d, startt_march, n_window,
+            return_masks=True, k0=k0, packed=packed, jitter_cover=cover,
         )
         W = n_window
+        sentinel = n_window
         iota = jnp.arange(n_window, dtype=jnp.int32)[None, :]
-        keys = jnp.where(masks & alive0[:, None], iota, jnp.int32(n_window))
+        keys = jnp.where(masks & alive0[:, None], iota, jnp.int32(sentinel))
     counts = jnp.where(alive0, counts, 0)
-    t_idx = jax.lax.sort(keys, dimension=1).reshape(-1)  # (R * W,) k0-relative
+    # sorted occupied ordinals, packed FOUR per gather row: the composite
+    # reads runs [cur, cur + D) with cur always a multiple of _D (16), so
+    # 4-aligned rows quarter the per-round gather rows (XLA gathers cost per
+    # ROW, flat to w=4 — ROADMAP mb2/mb6)
+    t_idx4 = jax.lax.sort(keys, dimension=1).reshape(-1, 4)  # (R * W/4, 4)
 
     dirs_w = (d + 1.0) * 0.5
 
     def make_round(A, D):
         def round_body(state):
-            rnd, cursor, trans, rgb_acc, opac, processed, alive = state
-            # device compaction: alive ray slots packed to the front
-            order = jnp.cumsum(alive.astype(jnp.int32)) - 1
-            sel = jnp.zeros((R,), jnp.int32).at[jnp.where(alive, order, R)].set(
-                jnp.arange(R, dtype=jnp.int32), mode="drop"
-            )[:A]
-            n_alive = jnp.sum(alive, dtype=jnp.int32)
+            # alive rays live in a RING QUEUE: pop A ids at `head`, composite
+            # their next D samples, push survivors back at `tail`. Everything
+            # is A-row work — the alternative (recompacting an alive mask) is
+            # a V-row scatter EVERY round, ~7 ms at V = 8*2^16 (mb6 scatter
+            # rates), which dominated the non-network loop cost. At most
+            # tail - head <= V ids are in flight, so mod-V indexing never
+            # collides.
+            rnd, head, tail, queue, cursor, trans, rgb_acc, opac, processed = state
+            n_alive = tail - head
+            idx = (head + jnp.arange(A, dtype=jnp.int32)) % V
+            sel = queue[idx]  # (A,) virtual-ray ids
             slot = jnp.arange(A, dtype=jnp.int32) < n_alive  # (A,)
+            r = sel % R if n_spp > 1 else sel  # physical ray of each slot
 
-            cur = cursor[sel]  # (A,)
+            cur = cursor[sel]  # (A,); always a multiple of D (>= 16)
             j = jnp.arange(D, dtype=jnp.int32)[None, :]
-            flat = sel[:, None] * W + jnp.minimum(cur[:, None] + j, W - 1)
-            lat = t_idx[flat.reshape(-1)].reshape(A, D)  # (A, D) window ordinal
-            valid = slot[:, None] & ((cur[:, None] + j) < counts[sel][:, None]) & (lat < n_window)
+            j4 = jnp.arange(D // 4, dtype=jnp.int32)[None, :]
+            flat4 = r[:, None] * (W // 4) + jnp.minimum(cur[:, None] // 4 + j4, W // 4 - 1)
+            lat = t_idx4[flat4.reshape(-1)].reshape(A, D)  # (A, D) window ordinal
+            valid = slot[:, None] & ((cur[:, None] + j) < counts[r][:, None]) & (lat < sentinel)
 
-            ts = lattice_t(scfg, startt[sel][:, None], k0[sel][:, None] + lat)
+            ts = lattice_t(scfg, startt_v[sel][:, None], k0[r][:, None] + lat)
             dts = lattice_dt(scfg, ts)  # (A, D); == dt when cone angle is 0
-            pos = o[sel][:, None, :] + ts[..., None] * d[sel][:, None, :]  # (A, D, 3)
+            pos = o[r][:, None, :] + ts[..., None] * d[r][:, None, :]  # (A, D, 3)
+            if cover:
+                # the cover mask is a superset: re-test the scene box at the
+                # EXACT jittered position (pointwise, free — pos is in hand)
+                valid = valid & aabb.contains(pos)
             pos_w = aabb.relative_pos(pos).reshape(-1, 3)
-            dir_w = jnp.broadcast_to(dirs_w[sel][:, None, :], (A, D, 3)).reshape(-1, 3)
+            dir_w = jnp.broadcast_to(dirs_w[r][:, None, :], (A, D, 3)).reshape(-1, 3)
 
             rgb_raw, sigma_raw = model.rgbsigma_raw(params, pos_w, dir_w)
             sigma = apply_density_activation(sigma_raw, density_activation).reshape(A, D)
@@ -180,52 +227,68 @@ def _render_tile_impl(
             new_trans_sel = trans[sel] * jnp.exp(-jnp.sum(jnp.where(include, sdt, 0.0), axis=1))
             add_proc = jnp.sum(include, axis=1)
 
-            guard = jnp.where(slot, sel, R)  # padding slots dropped
+            guard = jnp.where(slot, sel, V)  # padding slots dropped
             rgb_acc = rgb_acc.at[guard].add(jnp.where(slot[:, None], add_rgb, 0.0), mode="drop")
             opac = opac.at[guard].add(jnp.where(slot, add_opac, 0.0), mode="drop")
             processed = processed.at[guard].add(jnp.where(slot, add_proc, 0), mode="drop")
             trans = trans.at[guard].set(jnp.where(slot, new_trans_sel, 1.0), mode="drop")
             cursor = cursor.at[guard].add(jnp.where(slot, D, 0), mode="drop")
 
-            done = slot & ((new_trans_sel < thresh) | (cur + D >= counts[sel]))
-            alive = alive.at[jnp.where(done, sel, R)].set(False, mode="drop")
-            return rnd + 1, cursor, trans, rgb_acc, opac, processed, alive
+            survive = slot & (new_trans_sel >= thresh) & (cur + D < counts[r])
+            rank = jnp.cumsum(survive.astype(jnp.int32)) - 1  # (A,)
+            push_at = jnp.where(survive, (tail + rank) % V, V)
+            queue = queue.at[push_at].set(sel, mode="drop")
+            n_pop = jnp.minimum(n_alive, A)
+            n_push = jnp.sum(survive, dtype=jnp.int32)
+            return (
+                rnd + 1, head + n_pop, tail + n_push,
+                queue, cursor, trans, rgb_acc, opac, processed,
+            )
 
         return round_body
 
+    alive_init = counts > 0
+    if n_spp > 1:
+        alive_init = jnp.tile(alive_init, n_spp)
+    # one-time queue build (the only V-row scatter of the whole tile)
+    order0 = jnp.cumsum(alive_init.astype(jnp.int32)) - 1
+    queue0 = jnp.zeros((V,), jnp.int32).at[jnp.where(alive_init, order0, V)].set(
+        jnp.arange(V, dtype=jnp.int32), mode="drop"
+    )
     state = (
         jnp.int32(0),
-        jnp.zeros((R,), jnp.int32),  # cursor
-        jnp.ones((R,), jnp.float32),  # transmittance
-        jnp.zeros((R, 3), jnp.float32),
-        jnp.zeros((R,), jnp.float32),  # opacity
-        jnp.zeros((R,), jnp.int32),  # processed (Cost mode)
-        counts > 0,
+        jnp.int32(0),  # queue head (total popped)
+        jnp.sum(alive_init, dtype=jnp.int32),  # queue tail (total pushed)
+        queue0,
+        jnp.zeros((V,), jnp.int32),  # cursor
+        jnp.ones((V,), jnp.float32),  # transmittance
+        jnp.zeros((V, 3), jnp.float32),
+        jnp.zeros((V,), jnp.float32),  # opacity
+        jnp.zeros((V,), jnp.int32),  # processed (Cost mode)
     )
     # stage list: deduplicated cascade depths capped at the number of lattice
-    # ordinals a ray can actually hold (W = C*8 on the segment path, where
-    # the sentinel n_window is frame-constant and far wider than the tile)
+    # ordinals a ray can actually hold (W = C*8 on the segment path)
     depths = []
     for D_k in _D_CASCADE:
         D_k = min(D_k, W)
         if not depths or D_k > depths[-1]:
             depths.append(D_k)
     for si, D_k in enumerate(depths):
-        A_k = max(min(_BUDGET // D_k, R), 1)
+        A_k = max(min(_BUDGET // D_k, V), 1)
         # hand off to the next (deeper) stage once its ray slots can hold
         # every alive ray; the final stage drains the tile
         next_cap = (
-            None if si == len(depths) - 1 else max(min(_BUDGET // depths[si + 1], R), 1)
+            None if si == len(depths) - 1 else max(min(_BUDGET // depths[si + 1], V), 1)
         )
 
         def stage_cond(state, next_cap=next_cap):
-            rnd, *_, alive = state
-            n_alive = jnp.sum(alive, dtype=jnp.int32)
+            rnd, head, tail = state[0], state[1], state[2]
+            n_alive = tail - head
             more = (n_alive > 0) if next_cap is None else (n_alive > next_cap)
             return (rnd < n_rounds_max) & more
 
         state = jax.lax.while_loop(stage_cond, make_round(A_k, D_k), state)
-    _, _, trans, rgb_acc, opac, processed, _ = state
+    _, _, _, _, _, trans, rgb_acc, opac, processed = state
 
     # shade_kernel (testbed.cu:448-477)
     hit = opac > 0.001
@@ -248,7 +311,17 @@ def _render_tile_impl(
         from ngp_tpu.render.envmap import read_envmap
 
         env = read_envmap(envmap, d)
+        if n_spp > 1:
+            env = jnp.tile(env, (n_spp, 1))
         out = out + env * (1.0 - out[..., 3:4])
+    if n_spp > 1:
+        # the passes' running average (render/buffer.accumulate semantics:
+        # rgb converted to the accumulation space per frame, alpha linear)
+        if accum_space == "srgb":
+            from ngp_tpu.utils.color import linear_to_srgb
+
+            out = jnp.concatenate([linear_to_srgb(out[..., :3]), out[..., 3:4]], axis=-1)
+        out = jnp.mean(out.reshape(n_spp, R, 4), axis=0)
     return out
 
 
@@ -259,10 +332,11 @@ render_tile = functools.partial(
         "config",
         "render_mode",
         "n_window",
-        "n_rounds_max",
         "train_in_linear_color",
         "rgb_activation",
         "density_activation",
+        "n_spp",
+        "accum_space",
     ),
 )(_render_tile_impl)
 
@@ -340,6 +414,18 @@ class Renderer:
     _packed_cache: dict = field(default_factory=dict)
     _seg_cache: dict = field(default_factory=dict)
 
+    def can_batch_spp(self) -> bool:
+        """True when render_frame(n_spp > 1) is available: pixel snapping
+        (all passes trace the same rays) and the jitter-cover packed march
+        (one conservative march absorbs every pass's start jitter)."""
+        from ngp_tpu.sampling.lattice import jitter_cover_supported
+
+        scfg = self.config.sampler
+        return (
+            scfg.snap_to_pixel_centers_in_rendering
+            and jitter_cover_supported(scfg)
+        )
+
     def _prepared(self, params):
         """Pack the hash table for inference ONCE per table (identity-keyed,
         like _occ_box): every tile and every spp pass of a frame then gathers
@@ -369,15 +455,15 @@ class Renderer:
             fn = functools.partial(_render_tile_impl, self.model, self.config, **statics)
             sh, rep = P(tuple(self.mesh.axis_names)), P()  # rays over ALL mesh axes
 
-            def body(params, occupancy, o, d, k0, rid, tv, spp, fwd, org, dsc, *rest):
+            def body(params, occupancy, o, d, k0, rid, tv, spp, fwd, org, dsc, rmax, *rest):
                 it = iter(rest)
                 env = next(it) if has_envmap else None
                 seg = next(it) if has_seg else None
                 pck = next(it) if has_packed else None
                 return fn(params, occupancy, o, d, k0, rid, tv, spp, fwd, org, dsc,
-                          envmap=env, seg_idx=seg, packed=pck)
+                          n_rounds_max=rmax, envmap=env, seg_idx=seg, packed=pck)
 
-            specs = (rep, rep, sh, sh, sh, sh, sh, rep, rep, rep, rep)
+            specs = (rep, rep, sh, sh, sh, sh, sh, rep, rep, rep, rep, rep)
             specs += ((rep,) if has_envmap else ()) + ((sh,) if has_seg else ()) + ((rep,) if has_packed else ())
             self._dp_cache[key] = jax.jit(
                 shard_map(body, mesh=self.mesh, in_specs=specs, out_specs=sh, check_vma=False)
@@ -558,14 +644,24 @@ class Renderer:
         scene_scale=1.0,
         envmap=None,
         occ_aabb=None,
+        n_spp: int = 1,
+        accum_space: str = "linear",
     ):
-        """One frame at one spp index -> (H, W, 4) premultiplied linear."""
+        """One frame at one spp index -> (H, W, 4) premultiplied linear.
+
+        n_spp > 1 (requires can_batch_spp) composites passes
+        [spp, spp + n_spp) in one device program per tile — one shared
+        jitter-cover march instead of n_spp exact ones — and returns the
+        ACCUMULATED frame (the mean in `accum_space`, exactly what feeding
+        each pass to render/buffer.accumulate yields)."""
         params = self._prepared(params)
         w, h = resolution
         scfg = self.config.sampler
         dt = scfg.min_cone_stepsize
         n_lat = n_lattice_points(scfg)
         snap = scfg.snap_to_pixel_centers_in_rendering
+        if n_spp > 1 and not self.can_batch_spp():
+            raise ValueError("n_spp > 1 requires can_batch_spp() (pixel snapping + jitter-cover march)")
         off = np.asarray(ld_random_pixel_offset(0 if snap else int(spp)))
         cam = np.asarray(camera_matrix, np.float32)
         o, d = self._camera_rays(cam, w, h, focal_length, principal_point, off)
@@ -605,14 +701,25 @@ class Renderer:
         ids_hit = np.nonzero(hit)[0]
 
         if env_only:
-            # misses still show the environment: one jitted fill per frame
+            # misses still show the environment: one jitted fill per frame.
+            # A multi-spp frame is returned pre-accumulated, so miss rows get
+            # the accumulation-space conversion here (pass-constant -> the
+            # mean is the converted value itself).
             from ngp_tpu.render.envmap import read_envmap
 
-            def _env_fill(envmap, d_all, hit_mask):
+            to_srgb_fill = n_spp > 1 and accum_space == "srgb"
+
+            def _env_fill(envmap, d_all, hit_mask, _conv=to_srgb_fill):
                 env = read_envmap(envmap, d_all)
+                if _conv:
+                    from ngp_tpu.utils.color import linear_to_srgb
+
+                    env = jnp.concatenate(
+                        [linear_to_srgb(env[..., :3]), env[..., 3:4]], axis=-1
+                    )
                 return jnp.where(hit_mask[:, None], 0.0, env)
 
-            fn = self._dp_cache.setdefault("_env_fill", jax.jit(_env_fill))
+            fn = self._dp_cache.setdefault(("_env_fill", to_srgb_fill), jax.jit(_env_fill))
             out = fn(envmap, jnp.asarray(d), jnp.asarray(hit))
 
         if ids_hit.size:
@@ -640,7 +747,7 @@ class Renderer:
                     # keep everything and the legacy span window is then
                     # strictly cheaper)
                     if use_seg and c_t * 8 <= (3 * n_legacy) // 4:
-                        n_window = 8 * n_seg_frame  # frame-constant sentinel
+                        n_window = 0  # unused on the seg path (fixed _SENTINEL)
                         rows = np.zeros((tile,), np.int32)
                         rows[: sel.size] = inv[sel]
                         seg_t = jnp.take(seg_sorted, jnp.asarray(rows), axis=0)[:, :c_t]
@@ -691,16 +798,18 @@ class Renderer:
                 # budget still needs ~w_eff/_D rounds for non-terminating
                 # rays (the loop exits early once nothing is alive)
                 rounds_max = (
-                    int(np.ceil(tile * w_eff / _BUDGET)) + int(np.ceil(w_eff / _D)) + 4
+                    int(np.ceil(n_spp * tile * w_eff / _BUDGET))
+                    + int(np.ceil(w_eff / _D)) + 4
                 )
                 n_dev = self.mesh.devices.size if self.mesh is not None else 1
                 statics = dict(
                     render_mode=render_mode,
                     n_window=n_window,
-                    n_rounds_max=rounds_max,
                     train_in_linear_color=self.train_in_linear_color,
                     rgb_activation=self.rgb_activation,
                     density_activation=self.density_activation,
+                    n_spp=n_spp,
+                    accum_space=accum_space,
                 )
                 o_dev, k_dev, id_dev, v_dev = cached["rays_const"]
                 array_args = (
@@ -715,6 +824,7 @@ class Renderer:
                     jnp.asarray(cam[:, 2]),
                     jnp.asarray(cam[:, 3]),
                     jnp.float32(1.0 / scene_scale),
+                    jnp.int32(rounds_max),
                 )
                 packed = self._packed(occupancy)
                 if n_dev > 1 and tile % n_dev == 0:

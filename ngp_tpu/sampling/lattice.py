@@ -33,6 +33,7 @@ from ngp_tpu.grid.occupancy import (
     mip_from_pos,
     occupancy_lookup,
     packed_chunk_lookup,
+    packed_cover_lookup,
     pooled_lookup,
     static_dt_mip,
 )
@@ -78,16 +79,35 @@ def packed_march_supported(cfg: SamplerConfig) -> bool:
     )
 
 
-def _packed_group_occ(cfg: SamplerConfig, packed, pos):
+def _packed_group_occ(cfg: SamplerConfig, packed, pos, step_vec=None):
     """Occupancy of lattice positions `pos` (R, W, 3) via one packed gather
     per 8-point group. Columns must be CONSECUTIVE lattice ordinals within
     each aligned group of _SEG: the group midpoint (ordinal offset +3.5) is
     then the average of points 3 and 4 on the straight ray, so every point
-    sits within 3.5*dt of it — packed_march_supported's coverage bound."""
+    sits within 3.5*dt of it — packed_march_supported's coverage bound.
+
+    With `step_vec` ((R, 3), the ray's dt*d) the test turns CONSERVATIVE
+    over a +dt march-start jitter: point i reports True iff ANY cell touched
+    by the segment [pos_i, pos_i + dt*d] is occupied (jitter_cover_supported;
+    see packed_cover_lookup). A jittered sample t_i + delta, delta in
+    [0, dt), lands in one of exactly those cells (per-axis monotonicity of
+    the straight segment), so the cover mask is a superset of EVERY pass's
+    exact mask — one march serves all spp passes."""
     R, W, _ = pos.shape
     pg = pos.reshape(R, W // _SEG, _SEG, 3)
     pos_mid = 0.5 * (pg[:, :, 3, :] + pg[:, :, 4, :])
-    return packed_chunk_lookup(cfg, packed, pos_mid, pg).reshape(R, W)
+    if step_vec is None:
+        return packed_chunk_lookup(cfg, packed, pos_mid, pg).reshape(R, W)
+    pg2 = pg + step_vec[:, None, None, :]
+    return packed_cover_lookup(cfg, packed, pos_mid, pg, pg2).reshape(R, W)
+
+
+def jitter_cover_supported(cfg: SamplerConfig) -> bool:
+    """The shared-march (jitter-cover) test needs the packed march PLUS one
+    extra step of chunk half-extent: point 7's segment endpoint pos + dt*d is
+    4.5*dt from the group midpoint, so every tested cell stays within +-1 of
+    the midpoint's only when 4.5*dt*G <= 1 (default config: 0.97)."""
+    return packed_march_supported(cfg) and 4.5 * cfg.min_cone_stepsize * cfg.grid_size <= 1.0
 
 
 def segments_supported(cfg: SamplerConfig) -> bool:
@@ -139,7 +159,7 @@ def coarse_segment_mask(cfg: SamplerConfig, pooled, o, d, startt, n_seg: int, k0
     return occ & (maxval <= scene_half + 8.0 * dt)
 
 
-def count_samples_segments(cfg: SamplerConfig, aabb: AABB, occupancy, o, d, startt, k0, seg_idx, packed=None):
+def count_samples_segments(cfg: SamplerConfig, aabb: AABB, occupancy, o, d, startt, k0, seg_idx, packed=None, jitter_cover: bool = False):
     """Fine march restricted to pre-masked coarse segments.
 
     seg_idx: (R, C) int32 ASCENDING kept-segment ordinals (padding sentinel
@@ -151,6 +171,16 @@ def count_samples_segments(cfg: SamplerConfig, aabb: AABB, occupancy, o, d, star
     break-on-exit prefix (occupancy_sampler.cu:397) is equivalent to the
     pointwise contains() test, and skipped segments contribute no samples
     by construction.
+
+    jitter_cover=True (requires `packed` + jitter_cover_supported): `startt`
+    is the UNJITTERED march start, and the returned mask is a conservative
+    superset of the exact mask for every jittered start in
+    [startt, startt + dt) — one march serves all spp passes of a frame
+    (occupancy via packed_cover_lookup; the AABB prefix likewise covers the
+    segment [t, t + dt]). False positives cost only composite work: the
+    composite re-masks contains() pointwise and evaluates the network at the
+    jittered position, where the field — not the grid — decides the
+    contribution.
     """
     dt = cfg.min_cone_stepsize
     R, C = seg_idx.shape
@@ -164,8 +194,13 @@ def count_samples_segments(cfg: SamplerConfig, aabb: AABB, occupancy, o, d, star
     # full-window cumprod does)
     t0p = startt + k0.astype(jnp.float32) * dt
     inside0 = aabb.contains(o + t0p[:, None] * d)
-    inside = aabb.contains(pos) & inside0[:, None]
-    if packed is not None:
+    inside = aabb.contains(pos)
+    if jitter_cover:
+        step_vec = d * dt
+        inside = inside | aabb.contains(pos + step_vec[:, None, :])
+        inside0 = inside0 | aabb.contains(o + (t0p + dt)[:, None] * d)
+        occ = _packed_group_occ(cfg, packed, pos, step_vec=step_vec)
+    elif packed is not None:
         # each kept segment is one aligned 8-ordinal group: ONE packed gather
         # per (ray, segment) instead of 8 single-cell rows (exact;
         # packed_march_supported)
@@ -173,7 +208,7 @@ def count_samples_segments(cfg: SamplerConfig, aabb: AABB, occupancy, o, d, star
     else:
         mip = _march_mip(cfg, pos, dt)
         occ = occupancy_lookup(cfg, occupancy, pos, mip)
-    mask = inside & occ
+    mask = inside & inside0[:, None] & occ
     ordinal = jnp.cumsum(mask, axis=1) - mask.astype(jnp.int32)
     mask = mask & (ordinal < cfg.maximum_marching_steps)
     return jnp.sum(mask, axis=1, dtype=jnp.int32), mask, lat
@@ -268,7 +303,7 @@ def occupied_window_start(occ_aabb, o, d, startt, dt: float, n_lattice: int):
     return jnp.clip(jnp.where(miss, n_lattice, k0), 0, n_lattice)
 
 
-def _chunk_mask(cfg: SamplerConfig, aabb: AABB, occupancy, o, d, startt, chunk_start, taken_so_far, still_inside, k0=None, packed=None):
+def _chunk_mask(cfg: SamplerConfig, aabb: AABB, occupancy, o, d, startt, chunk_start, taken_so_far, still_inside, k0=None, packed=None, jitter_cover: bool = False):
     """Occupied-sample mask for lattice points [chunk_start, chunk_start+_CHUNK).
 
     Returns (mask (R, CHUNK), t, ordinal, still_inside'). The reference's
@@ -287,9 +322,14 @@ def _chunk_mask(cfg: SamplerConfig, aabb: AABB, occupancy, o, d, startt, chunk_s
     t = lattice_t(cfg, startt[:, None], i)  # (R, CHUNK)
     pos = o[:, None, :] + t[..., None] * d[:, None, :]  # (R, CHUNK, 3)
     inside = aabb.contains(pos)
+    if jitter_cover:
+        # conservative over a +dt start jitter (see count_samples_segments)
+        inside = inside | aabb.contains(pos + (d * dt)[:, None, :])
     # prefix-AND: a point is reachable only if every earlier point was inside
     reachable = still_inside[:, None] & (jnp.cumprod(inside, axis=1) > 0)
-    if packed is not None:
+    if jitter_cover:
+        occ = _packed_group_occ(cfg, packed, pos, step_vec=d * dt)
+    elif packed is not None:
         # single gather per 8-step group (exact; packed_march_supported)
         occ = _packed_group_occ(cfg, packed, pos)
     elif cfg.cone_angle_constant == 0.0:
@@ -306,7 +346,7 @@ def _chunk_mask(cfg: SamplerConfig, aabb: AABB, occupancy, o, d, startt, chunk_s
     return mask, t, ordinal, reachable[:, -1]
 
 
-def count_samples(cfg: SamplerConfig, aabb: AABB, occupancy, o, d, startt, n_window: int, return_masks: bool = False, k0=None, packed=None):
+def count_samples(cfg: SamplerConfig, aabb: AABB, occupancy, o, d, startt, n_window: int, return_masks: bool = False, k0=None, packed=None, jitter_cover: bool = False):
     """Pass 1: per-ray occupied-sample counts (R,) int32.
 
     Mirrors the reference's first marching pass (occupancy_sampler.cu:389-407).
@@ -320,7 +360,7 @@ def count_samples(cfg: SamplerConfig, aabb: AABB, occupancy, o, d, startt, n_win
 
     def body(carry, chunk_idx):
         taken, still = carry
-        mask, _, _, still = _chunk_mask(cfg, aabb, occupancy, o, d, startt, chunk_idx * _CHUNK, taken, still, k0=k0, packed=packed)
+        mask, _, _, still = _chunk_mask(cfg, aabb, occupancy, o, d, startt, chunk_idx * _CHUNK, taken, still, k0=k0, packed=packed, jitter_cover=jitter_cover)
         return (taken + jnp.sum(mask, axis=1, dtype=jnp.int32), still), (mask if return_masks else None)
 
     R = o.shape[0]

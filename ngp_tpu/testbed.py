@@ -58,11 +58,9 @@ class Testbed:
     def __init__(self, use_mesh: bool = False):
         """use_mesh=True trains data-parallel over all visible devices
         (ngp_tpu/parallel/mesh.py) — the scaling layer the reference lacks."""
-        try:  # persist compiled executables across processes (cheap warmups)
-            jax.config.update("jax_compilation_cache_dir", "/tmp/ngp_tpu_jax_cache")
-            jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
-        except Exception:
-            pass
+        from ngp_tpu.utils.compile_cache import enable_persistent_compile_cache
+
+        enable_persistent_compile_cache()  # cheap warmups across processes
         self._use_mesh = use_mesh
         self.seed = 43
         self.background_color = [0.0, 0.0, 0.0, 1.0]  # sRGB (testbed.h:116)
@@ -304,10 +302,36 @@ class Testbed:
         self._spp += 1
 
     def render(self, width: int, height: int, spp: int = 8, to_srgb: bool = True):
-        """python_api.cu:22-46: spp frames -> accumulate -> tonemap -> numpy."""
+        """python_api.cu:22-46: spp frames -> accumulate -> tonemap -> numpy.
+
+        When the renderer supports it, all spp passes composite in ONE
+        device program per tile (render_frame(n_spp=spp) returns the
+        accumulated buffer directly — same mean `accumulate` computes);
+        otherwise the per-pass accumulate loop runs as the reference does."""
         self._spp = 0
-        for _ in range(spp):
-            self.render_frame(width, height)
+        cs = self.color_space.lower()
+        if spp > 1 and cs in ("linear", "srgb") and self._renderer.can_batch_spp():
+            rb = self.rendering_buffer
+            focal = rb.relative_focal_length[rb.fov_axis] * (width if rb.fov_axis == 0 else height)
+            self._accum = self._renderer.render_frame(
+                self._state.ema_params,
+                self._state.grid.occupancy,
+                rb.camera_matrix,
+                (width, height),
+                (focal, focal),
+                rb.principal_point,
+                0,
+                render_mode=rb.render_mode,
+                scene_scale=self.scene_scale,
+                envmap=self._state.envmap.ema_params if self._state.envmap is not None else None,
+                occ_aabb=self._state.grid.occ_aabb,
+                n_spp=spp,
+                accum_space=cs,
+            )
+            self._spp = spp
+        else:
+            for _ in range(spp):
+                self.render_frame(width, height)
         out = tonemap(
             self._accum,
             self.rendering_buffer.exposure,

@@ -42,8 +42,9 @@ def chained(op, k):
 
 def main():
     try:
-        jax.config.update("jax_compilation_cache_dir", "/tmp/ngp_tpu_jax_cache")
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+        from ngp_tpu.utils.compile_cache import enable_persistent_compile_cache
+
+        enable_persistent_compile_cache()
     except Exception:
         pass
 
