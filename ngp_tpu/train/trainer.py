@@ -537,14 +537,20 @@ class TrainingLoop:
         seg = float(d.get("seg_est", 0.0))
         self._seg_est = seg if seg > 0 else None
 
-    @staticmethod
-    def _quantize_n_rays(n: int) -> int:
-        """Round to the nearest power of two, in [2^8, 2^18] (cap:
-        testbed.cu:293). Quantization bounds the number of distinct jit
-        shapes to 11; nearest (not floor) so the controller can actually
-        grow the ray count toward the target batch."""
+    # ray-count ladder {2^k, 3*2^(k-1)}: max quantization error 1.155x (pow2
+    # alone is 1.41x — on the 50k evidence scene that parked measured at 69%
+    # of the target batch and cost ~10% samples/s). Still a bounded shape
+    # set (21), and every rung divides by 8 for the DP mesh.
+    _N_RAYS_LADDER = tuple(
+        sorted({1 << k for k in range(8, 19)} | {3 << (k - 1) for k in range(9, 18)})
+    )
+
+    @classmethod
+    def _quantize_n_rays(cls, n: int) -> int:
+        """Round to the nearest ladder rung, in [2^8, 2^18] (cap:
+        testbed.cu:293)."""
         n = max(1 << 8, min(n, 1 << 18))
-        return 1 << int(round(np.log2(n)))
+        return min(cls._N_RAYS_LADDER, key=lambda v: abs(v - n))
 
     def _quantize_s_pad(self, max_count: int, n_rays: int) -> int:
         """Pow2 padded width covering the longest ray, memory-capped so the
@@ -553,6 +559,18 @@ class TrainingLoop:
         cap = max(32, min(1 << int(np.ceil(np.log2(max_steps))), (1 << 23) // n_rays))
         want = 1 << int(np.ceil(np.log2(max(int(max_count), 32))))
         return min(want, cap)
+
+    def _pick_n_rays(self, per_ray: float, target: int) -> int:
+        """Ladder rung whose expected batch lands closest to the target,
+        overshoot penalized 2x (overshot rays are dropped at the capacity
+        cap — march work for no samples — while a small undershoot only
+        costs the shortfall)."""
+
+        def cost(n):
+            e = n * per_ray
+            return (target - e) if e <= target else 2.0 * (e - target)
+
+        return min(self._N_RAYS_LADDER, key=cost)
 
     def train(self, state: TrainState, n_training_steps: int = 16):
         """One reference train() call: grid prep + n steps + controller."""
@@ -594,9 +612,7 @@ class TrainingLoop:
             per_ray = float(ns) / n_probe
             if per_ray > 0:
                 target = self.trainer.target_batch_size
-                lo = self._quantize_n_rays(max(int(target / per_ray), 1))
-                cand = {lo, min(lo * 2, 1 << 18), max(lo // 2, 1 << 8)}
-                self.n_rays_per_batch = min(cand, key=lambda n: abs(n * per_ray - target))
+                self.n_rays_per_batch = self._pick_n_rays(per_ray, target)
                 self._per_ray_est = per_ray
                 self.s_pad = self._quantize_s_pad(int(float(mrc) * 1.25) + 1, self.n_rays_per_batch)
                 self.s_short = min(self.s_short, self.s_pad) if self.s_short else 0
@@ -670,9 +686,7 @@ class TrainingLoop:
         if self._per_ray_est and abs(per_ray - self._per_ray_est) > 0.25 * self._per_ray_est:
             self._probe_next = True
         self._per_ray_est = per_ray
-        lo = self._quantize_n_rays(max(int(target / per_ray), 1))
-        candidates = {lo, min(lo * 2, 1 << 18), max(lo // 2, 1 << 8)}
-        self.n_rays_per_batch = min(candidates, key=lambda n: abs(n * per_ray - target))
+        self.n_rays_per_batch = self._pick_n_rays(per_ray, target)
 
         # padded width for the next call: cover this call's longest ray with
         # 25% headroom (stat is pre-drop, so an undersized S self-corrects)
