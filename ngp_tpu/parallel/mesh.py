@@ -214,7 +214,7 @@ def _make_dp_step_fn(trainer: Trainer, mesh: Mesh, n_rays_global: int, capacity:
             "measured_batch_size_before_compaction": jax.lax.psum(batch.n_samples, axes),
             "max_ray_count": jax.lax.pmax(batch.max_ray_count, axes),
             "count_at_split": jax.lax.pmax(batch.count_at_split, axes),
-            "max_seg_count": jax.lax.pmax(jnp.asarray(batch.max_seg_count, jnp.int32), axes),
+            "seg_count_hi": jax.lax.pmax(jnp.asarray(batch.seg_count_hi, jnp.int32), axes),
         }
         new_state = TrainState(
             params=params,

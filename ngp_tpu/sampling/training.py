@@ -69,9 +69,15 @@ class TrainingBatch(NamedTuple):
     n_samples: jnp.ndarray  # () int32 — generated samples before drops
     max_ray_count: jnp.ndarray  # () int32 — longest ray this step (S controller)
     count_at_split: jnp.ndarray  # () int32 — longest SHORT-bucket count (S_short controller)
-    # most coarse-occupied segments on any ray (pre-truncation; the seg-cap
-    # controller's signal). Zero when the coarse pass didn't run.
-    max_seg_count: jnp.ndarray = 0
+    # p99.5 of per-ray coarse-occupied segment counts (pre-truncation; the
+    # seg-cap controller's signal). A MAX here lets ONE worst-case ray park
+    # the cap above the engage threshold and silently disable the premask —
+    # the controller sizes from this quantile instead, truncating the <=0.5%
+    # longest rays to their first cap segments (the s_pad-truncation
+    # philosophy; the reference likewise caps occupied samples at
+    # n_max_steps, occupancy_sampler.cu:408). Zero when the coarse pass
+    # didn't run.
+    seg_count_hi: jnp.ndarray = 0
 
 
 def generate_training_batch(
@@ -121,8 +127,8 @@ def generate_training_batch(
     lattice.count_samples_segments), at ~n_seg_cap*8/n_window of its cost.
     Rays with more kept segments are TRUNCATED to the first n_seg_cap (the
     march-order prefix — the same semantics as the s_pad truncation; the
-    max_seg_count stat lets the TrainingLoop size the cap so this is rare).
-    `want_seg_stat` computes max_seg_count even when the premask is off, so
+    seg_count_hi stat lets the TrainingLoop size the cap so this is rare).
+    `want_seg_stat` computes seg_count_hi even when the premask is off, so
     the controller can decide when to engage it."""
     n_images, h, w = images.shape[0], images.shape[1], images.shape[2]
     k_pixel, k_jitter = jax.random.split(key)
@@ -172,14 +178,15 @@ def generate_training_batch(
     # 8-step segment, conservative for the jittered march (lattice.py)
     coarse_ok = cfg.cone_angle_constant == 0.0 and occ_aabb is not None and n_window % _SEG == 0
     seg_on = n_seg_cap > 0 and coarse_ok
-    max_seg_count = jnp.zeros((), jnp.int32)
+    seg_count_hi = jnp.zeros((), jnp.int32)
     if seg_on or (want_seg_stat and coarse_ok):
         from ngp_tpu.grid.occupancy import pooled_occupancy
 
         n_seg = n_window // _SEG
         pooled = pooled_occupancy(cfg, occupancy)
         cmask = coarse_segment_mask(cfg, pooled, o, d, startt, n_seg, k0) & hits[:, None]
-        max_seg_count = jnp.max(jnp.sum(cmask, axis=1, dtype=jnp.int32))
+        k_hi = min(int(0.995 * n_rays), n_rays - 1)
+        seg_count_hi = jax.lax.sort(jnp.sum(cmask, axis=1, dtype=jnp.int32))[k_hi]
 
     # packed-neighborhood march (single-cascade arithmetic lattice): one
     # uint32 gather answers 8 occupancy tests; built in-step from the grid
@@ -286,5 +293,5 @@ def generate_training_batch(
         n_samples=n_samples,
         max_ray_count=max_ray_count,
         count_at_split=count_at_split,
-        max_seg_count=max_seg_count,
+        seg_count_hi=seg_count_hi,
     )

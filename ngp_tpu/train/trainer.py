@@ -262,7 +262,7 @@ class Trainer:
                 "measured_batch_size_before_compaction": batch.n_samples,
                 "max_ray_count": batch.max_ray_count,
                 "count_at_split": batch.count_at_split,
-                "max_seg_count": batch.max_seg_count,
+                "seg_count_hi": batch.seg_count_hi,
             }
             new_state = TrainState(
                 params=params,
@@ -376,7 +376,7 @@ class Trainer:
                 )
                 # all stats are pre-truncation/pre-drop, so the tiny
                 # capacity/s_pad above don't bias them
-                return batch.n_samples, batch.max_ray_count, batch.max_seg_count
+                return batch.n_samples, batch.max_ray_count, batch.seg_count_hi
 
             self._cache[key] = jax.jit(probe_fn)
         return self._cache[key]
@@ -465,7 +465,7 @@ class TrainingLoop:
         self.s_short = 0
         self._s_short_shrink_votes = 0
         # two-level-march controller: kept-coarse-segment capacity, sized from
-        # the max_seg_count stat; 0 = full-window march (noisy grids where the
+        # the seg_count_hi stat; 0 = full-window march (noisy grids where the
         # premask keeps nearly everything)
         self.n_seg_cap = 0
         self._seg_est = None
@@ -493,7 +493,14 @@ class TrainingLoop:
         n_seg_cap_val = self.n_seg_cap
         shrink_votes = self._seg_shrink_votes
         if self._seg_est is not None and self._seg_est > 0:
-            want = min(1 << int(np.ceil(np.log2(max(self._seg_est * 1.25, 8)))), n_seg_frame)
+            # round UP to the {2^k, 3*2^(k-1)} ladder: pow2-only rounding can
+            # inflate the cap ~2x past the estimate and push it back over the
+            # 3/4-window engage threshold it just cleared
+            need_cap = max(self._seg_est * 1.25, 8)
+            want = min(
+                next((v for v in self._LADDER if v >= need_cap), n_seg_frame),
+                n_seg_frame,
+            )
             if n_seg_cap_val == 0 or want > n_seg_cap_val or n_seg_cap_val > n_seg_frame:
                 n_seg_cap_val = want
                 shrink_votes = 0
@@ -537,13 +544,14 @@ class TrainingLoop:
         seg = float(d.get("seg_est", 0.0))
         self._seg_est = seg if seg > 0 else None
 
-    # ray-count ladder {2^k, 3*2^(k-1)}: max quantization error 1.155x (pow2
-    # alone is 1.41x — on the 50k evidence scene that parked measured at 69%
-    # of the target batch and cost ~10% samples/s). Still a bounded shape
-    # set (21), and every rung divides by 8 for the DP mesh.
-    _N_RAYS_LADDER = tuple(
-        sorted({1 << k for k in range(8, 19)} | {3 << (k - 1) for k in range(9, 18)})
+    # static-shape ladder {2^k, 3*2^(k-1)}: max quantization error 1.155x
+    # (pow2 alone is 1.41x — on the 50k evidence scene that parked measured
+    # at 69% of the target batch and cost ~10% samples/s). A bounded shape
+    # set, and every rung >= 8 divides by 8 for the DP mesh.
+    _LADDER = tuple(
+        sorted({1 << k for k in range(3, 19)} | {3 << (k - 1) for k in range(4, 18)})
     )
+    _N_RAYS_LADDER = tuple(v for v in _LADDER if 256 <= v <= (1 << 18))
 
     @classmethod
     def _quantize_n_rays(cls, n: int) -> int:
@@ -596,7 +604,7 @@ class TrainingLoop:
         # otherwise makes the previous-call estimate lag one call behind and
         # the measured batch transiently collapses)
         ds = self.dataset
-        # the per-step stats carry max_seg_count only while the seg path is
+        # the per-step stats carry seg_count_hi only while the seg path is
         # ON; when it's off, a periodic probe (cheap: 1024 rays) keeps the
         # seg estimate fresh so the premask engages once the grid sparsifies
         if self.n_seg_cap == 0 and self.i_step > 0 and (self.i_step // n_training_steps) % 16 == 0:
@@ -697,7 +705,7 @@ class TrainingLoop:
         # after two consecutive half-size votes — without hysteresis the
         # width flaps between pow2 values and the shape-stability gate never
         # lets the fused scan engage.
-        msc = float(np.max(stats.get("max_seg_count", 0)))
+        msc = float(np.max(stats.get("seg_count_hi", 0)))
         if msc > 0:
             self._seg_est = msc
         split = float(np.max(stats.get("count_at_split", stats["max_ray_count"])))
