@@ -233,7 +233,14 @@ def generate_training_batch(
     else:
         sel_long = None
         is_long = jnp.zeros((n_rays,), bool)
-        count_at_split = max_ray_count
+        # honest split stat even when bucketing is OFF: the controller sizes
+        # s_short from the longest count OUTSIDE the would-be top bucket. With
+        # max_ray_count here instead, s_short pins to s_pad (= "off") and the
+        # two-bucket composite can never re-engage at steady state.
+        if 0 < n_long < n_rays:
+            count_at_split = jax.lax.top_k(counts, n_long + 1)[0][n_long]
+        else:
+            count_at_split = max_ray_count
         ray_valid = (counts > 0) & (counts <= s_pad)
     counts_res = jnp.where(ray_valid, counts, 0)
     base = jnp.cumsum(counts_res) - counts_res

@@ -255,3 +255,41 @@ def test_cone_training_batch_runs():
     assert np.isfinite(np.asarray(batch.pos)).all()
     d = np.asarray(batch.dt_pad)
     assert (d >= cfg.min_cone_stepsize - 1e-9).all() and (d <= cfg.max_cone_stepsize + 1e-9).all()
+
+
+def test_count_at_split_honest_when_unbucketed():
+    """With bucketing OFF but n_long > 0, count_at_split must report the
+    (n_long+1)-th largest count (what the s_short controller would need),
+    NOT max_ray_count — otherwise s_short pins to s_pad and the two-bucket
+    composite can never re-engage (trainer.py s_short controller)."""
+    cfg = SamplerConfig(grid_size=16, maximum_marching_steps=64, near_distance=0.05)
+    aabb = AABB.scene(1)
+    rng = np.random.default_rng(7)
+    occ = jnp.ones((cfg.n_cascades, 16, 16, 16), bool)
+    n_img, h, w = 3, 16, 16
+    images = jnp.asarray(rng.uniform(0, 1, (n_img, h, w, 4)), jnp.float16)
+    xf = np.zeros((n_img, 3, 4), np.float32)
+    for i in range(n_img):
+        xf[i, :, :3] = np.eye(3)
+        xf[i, :, 3] = [0.5, 0.5, -1.5]
+    kw = dict(
+        images=images,
+        xforms=jnp.asarray(xf),
+        focal_length=jnp.asarray([20.0, 20.0]),
+        principal_point=(0.5, 0.5),
+        occupancy=occ,
+        key=jax.random.PRNGKey(0),
+        n_rays=64,
+        n_rays_shift=jnp.uint32(0),
+        capacity=4096,
+        n_lattice=n_lattice_points(cfg),
+        s_pad=64,
+    )
+    n_long = 16
+    off = generate_training_batch(cfg, aabb, **kw, s_short=0, n_long=n_long)
+    on = generate_training_batch(cfg, aabb, **kw, s_short=32, n_long=n_long)
+    counts = np.sort(np.asarray(off.layout.counts))[::-1]
+    # both modes report the same split order statistic
+    assert int(off.count_at_split) == counts[n_long] == int(on.count_at_split)
+    # and it is strictly below the max on this scene (rays have varied spans)
+    assert int(off.count_at_split) < int(off.max_ray_count)
