@@ -4,7 +4,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ngp_tpu.train.optimizer import ema_update, lr_factor
-from ngp_tpu.train.trainer import compute_rgb_target
+from ngp_tpu.train.trainer import TrainingLoop, compute_rgb_target
 from ngp_tpu.utils.color import linear_to_srgb
 from ngp_tpu.utils.config import OptimizerConfig
 
@@ -59,3 +59,21 @@ def test_rgb_target_srgb_blend():
     rgba0 = jnp.asarray([[0.0, 0.0, 0.0, 0.0]])
     target0, _ = compute_rgb_target(rgba0, bg, "SRGB", False)
     np.testing.assert_allclose(np.asarray(target0)[0], bg_srgb, rtol=1e-5)
+
+
+def test_pick_n_rays_fills_capacity_on_converged_grids():
+    """Asymmetric rung cost: undershoot (idle capacity in the static-shape
+    network/composite stages) outweighs overshoot (extra march work only).
+    At per_ray=24.7 / target 2^18 the right rung is 10240 (~253k expected,
+    96.5% fill), not 8192 (202k, 77% fill — where the old symmetric-2x
+    penalty parked) and not 12288 (304k expected, 14% of march wasted at
+    the capacity cap)."""
+    loop = TrainingLoop.__new__(TrainingLoop)
+    pick = loop._pick_n_rays
+    assert pick(24.7, 1 << 18) == 10240
+    # exact fit stays put
+    assert pick(32.0, 1 << 18) == 8192
+    # moderate overshoot beats a deep undershoot
+    assert pick(21.4, 1 << 18) == 12288
+    # still bounded: wild overshoot is not free
+    assert pick(24.7, 1 << 18) != 1 << 18
