@@ -52,6 +52,14 @@ def build_layout(base, counts, ray_valid, capacity: int, s_pad: int) -> SampleLa
     keep their reservation as holes, mirroring the reference's atomicAdd
     bookkeeping, occupancy_sampler.cu:413-416); `ray_valid` masks rays that
     were dropped (overflow / zero samples) — their slots become invalid.
+
+    PRECONDITION: `base` must be ASCENDING over valid rays. The rank->row
+    inversion below ranks rows two ways — by flat offset (cumsum of marks)
+    and by array order (cumsum of ray_valid) — and equates them. A bucket
+    built from an unsorted row selection violates this and silently zeroes
+    the backward (forward is unaffected: it reads only base/pad_valid).
+    Callers selecting a row subset must sort the selection first
+    (training.py sel_long).
     """
     R = base.shape[0]
     counts_eff = jnp.where(ray_valid, counts, 0)

@@ -226,7 +226,11 @@ def generate_training_batch(
     # dropped rays keep their flat reservation as holes)
     if bucketed:
         order = jnp.argsort(-counts)
-        sel_long = order[:n_long]
+        # ascending ray order: build_layout ranks rows by their flat `base`
+        # offset (cumsum of scattered marks), so the long bucket's base array
+        # must be ascending or the backward's rank->row map scrambles and the
+        # bucket's gradients silently vanish (layout.py:59-75)
+        sel_long = jax.lax.sort(order[:n_long])
         is_long = jnp.zeros((n_rays,), bool).at[sel_long].set(True)
         count_at_split = counts[order[n_long]]
         ray_valid = (counts > 0) & jnp.where(is_long, counts <= s_pad, counts <= s_short)

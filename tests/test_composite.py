@@ -233,3 +233,13 @@ def test_bucketed_train_loss_matches_monolithic():
     for k in ("density_mlp", "rgb_mlp"):
         for x, y in zip(g0[k], g1[k], strict=True):
             np.testing.assert_allclose(np.asarray(x), np.asarray(y), rtol=0.02, atol=2e-3)
+    # SCALE-FREE check: fixed atols above are far above the actual gradient
+    # magnitudes at this scene size, so they can't catch the bucket backward
+    # silently zeroing (the unsorted-sel_long bug: build_layout's rank->row
+    # map requires ascending base, layout.py). Relative norms do.
+    for x, y in zip(jax.tree_util.tree_leaves(g0), jax.tree_util.tree_leaves(g1), strict=True):
+        x = np.asarray(x, np.float32)
+        y = np.asarray(y, np.float32)
+        n0 = np.linalg.norm(x.ravel())
+        assert n0 > 0
+        assert np.linalg.norm((x - y).ravel()) <= 0.02 * n0
