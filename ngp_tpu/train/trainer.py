@@ -572,22 +572,42 @@ class TrainingLoop:
         want = 1 << int(np.ceil(np.log2(max(int(max_count), 32))))
         return min(want, cap)
 
-    def _pick_n_rays(self, per_ray: float, target: int) -> int:
+    def _pick_n_rays(self, per_ray: float, target: int, current: int | None = None) -> int:
         """Ladder rung whose expected batch lands closest to the target.
 
-        Asymmetric: undershoot costs full weight, overshoot 0.3x. The
-        network/composite stages run on CAPACITY-sized static shapes, so a
-        shortfall of u samples wastes u's worth of the ~80% of the step
-        they occupy; overshot rays only waste march work (~20% of the
-        step) before the capacity cap drops them. The old 2x overshoot
-        penalty had this backwards and parked measured at 77% of target on
-        converged grids (bench 1.09e6 vs 1.27e6 samples/s)."""
+        Asymmetric in the default capacity == target configuration:
+        undershoot costs full weight (the network/composite stages run on
+        CAPACITY-sized static shapes, so a shortfall of u samples idles
+        u's worth of the ~80% of the step they occupy), while expectation
+        beyond CAPACITY costs 0.3x (those rays only waste march work,
+        ~20% of the step, before the cap drops them). The old symmetric
+        2x overshoot penalty had this backwards and parked measured at
+        77% of target on converged grids (bench 1.09e6 vs 1.15e6).
+
+        Samples between TARGET and CAPACITY (only possible when capacity
+        is configured above the target) are NOT cheap: they are kept, so
+        they inflate the effective batch past the protocol's target —
+        loss_scalar and the gradient magnitude both scale with measured
+        (testbed.cu:288-292, where measured never exceeds target) — and
+        they get full weight.
+
+        `current` adds switch hysteresis: per-ray estimate noise around a
+        rung boundary otherwise flips the jit shape call to call (each
+        flip recompiles and defeats the fused-scan stability gate), so the
+        incumbent rung is kept unless the challenger is decisively
+        cheaper."""
+        cap = float(self.capacity)
 
         def cost(n):
             e = n * per_ray
-            return (target - e) if e <= target else 0.3 * (e - target)
+            if e <= target:
+                return target - e
+            return (min(e, cap) - target) + 0.3 * max(e - cap, 0.0)
 
-        return min(self._N_RAYS_LADDER, key=cost)
+        best = min(self._N_RAYS_LADDER, key=cost)
+        if current in self._N_RAYS_LADDER and cost(current) <= 1.25 * cost(best) + 0.02 * target:
+            return current
+        return best
 
     def train(self, state: TrainState, n_training_steps: int = 16):
         """One reference train() call: grid prep + n steps + controller."""
@@ -629,7 +649,7 @@ class TrainingLoop:
             per_ray = float(ns) / n_probe
             if per_ray > 0:
                 target = self.trainer.target_batch_size
-                self.n_rays_per_batch = self._pick_n_rays(per_ray, target)
+                self.n_rays_per_batch = self._pick_n_rays(per_ray, target, self.n_rays_per_batch)
                 self._per_ray_est = per_ray
                 self.s_pad = self._quantize_s_pad(int(float(mrc) * 1.25) + 1, self.n_rays_per_batch)
                 self.s_short = min(self.s_short, self.s_pad) if self.s_short else 0
@@ -703,7 +723,7 @@ class TrainingLoop:
         if self._per_ray_est and abs(per_ray - self._per_ray_est) > 0.25 * self._per_ray_est:
             self._probe_next = True
         self._per_ray_est = per_ray
-        self.n_rays_per_batch = self._pick_n_rays(per_ray, target)
+        self.n_rays_per_batch = self._pick_n_rays(per_ray, target, old_n_rays)
 
         # padded width for the next call: cover this call's longest ray with
         # 25% headroom (stat is pre-drop, so an undersized S self-corrects)

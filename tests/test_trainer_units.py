@@ -69,6 +69,7 @@ def test_pick_n_rays_fills_capacity_on_converged_grids():
     penalty parked) and not 12288 (304k expected, 14% of march wasted at
     the capacity cap)."""
     loop = TrainingLoop.__new__(TrainingLoop)
+    loop.capacity = 1 << 18
     pick = loop._pick_n_rays
     assert pick(24.7, 1 << 18) == 10240
     # exact fit stays put
@@ -77,3 +78,23 @@ def test_pick_n_rays_fills_capacity_on_converged_grids():
     assert pick(21.4, 1 << 18) == 12288
     # still bounded: wild overshoot is not free
     assert pick(24.7, 1 << 18) != 1 << 18
+    # capacity ABOVE target: kept over-target samples inflate the batch
+    # (loss_scalar/grad scale with measured, testbed.cu:288-292), so the
+    # controller must not exploit the headroom — undershoot wins again
+    loop.capacity = 1 << 15
+    assert pick(30.0, 1 << 14) == 512  # e=15360 beats e(640)=19200
+
+
+def test_pick_n_rays_hysteresis():
+    """Per-ray noise around a rung boundary must not flip the jit shape
+    call to call: the incumbent stays unless decisively beaten."""
+    loop = TrainingLoop.__new__(TrainingLoop)
+    loop.capacity = 1 << 18
+    pick = loop._pick_n_rays
+    # 24.0 would freshly pick 12288, but 10240's cost is within the margin
+    assert pick(24.0, 1 << 18, current=10240) == 10240
+    assert pick(24.0, 1 << 18) == 12288
+    # a decisive shift still switches
+    assert pick(12.0, 1 << 18, current=10240) == 24576
+    # non-ladder current (e.g. restored from an old snapshot) is ignored
+    assert pick(24.0, 1 << 18, current=10000) == 12288
