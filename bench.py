@@ -99,25 +99,34 @@ def main():
 
     target_batch = (1 << 12) if smoke else (1 << 18)
 
+    seen_shapes = set()
+
     def warm_until_stable(limit_steps):
         """Train until the controller's UPCOMING shape tuple (peek_shape)
-        matches the one the last call just used, twice in a row — so no
-        shape switch is pending and every jit the timed region will use has
-        already compiled — or until `limit_steps`. Comparing used-vs-used
-        instead has an off-by-one that exits right as a switch is pending
-        and puts its compile inside the timed region."""
+        matches the one the last call just used, twice in a row, AND no
+        shape tuple NEW to this process has appeared for 4 consecutive
+        calls — so a late controller flip inside the timed region reuses an
+        already-compiled step instead of paying its jit there (a single
+        leaked compile is ~10-30 s against ~3 s calls: round-2's timed
+        region lost ~25% of its reported throughput to exactly that) — or
+        until `limit_steps`. Comparing used-vs-used instead has an
+        off-by-one that exits right as a switch is pending."""
         stable = 0
+        no_new = 0
         t0 = time.perf_counter()
         first = tb.training_buffer.i_step + 64
         while tb.training_buffer.i_step < first or (
-            stable < 2 and tb.training_buffer.i_step < limit_steps
+            (stable < 2 or no_new < 4) and tb.training_buffer.i_step < limit_steps
         ):
             tb.train(16, target_batch)
             lp = tb._loop
             stable = stable + 1 if lp.peek_shape(16) == lp._last_shape else 0
+            no_new = no_new + 1 if lp._last_shape in seen_shapes else 0
+            seen_shapes.add(lp._last_shape)
             print(
                 f"#   warm step={tb.training_buffer.i_step} n_rays={lp.n_rays_per_batch} "
                 f"cap={lp.capacity} win={lp.n_window} seg_cap={lp.n_seg_cap} stable={stable} "
+                f"no_new={no_new} "
                 f"measured={tb.training_buffer.measured_batch_size} t={time.perf_counter()-t0:.1f}s",
                 file=sys.stderr,
             )
@@ -169,11 +178,18 @@ def main():
     n_steps = 32 if smoke else 128
     start_step = tb.training_buffer.i_step
     samples = 0
+    call_times = []
     t0 = time.perf_counter()
     while tb.training_buffer.i_step < start_step + n_steps:
+        tc = time.perf_counter()
         tb.train(16, target_batch)
+        call_times.append(time.perf_counter() - tc)
         samples += tb.training_buffer.measured_batch_size * 16
     elapsed = time.perf_counter() - t0
+    print(
+        "# timed calls (s): " + " ".join(f"{t:.2f}" for t in call_times),
+        file=sys.stderr,
+    )
     sps = samples / elapsed
     print(
         f"# {n_steps} steps in {elapsed:.2f}s -> {sps:.3e} samples/s "

@@ -8,6 +8,7 @@ axon tunnel — see ROADMAP round-2 methodology note):
 Run: python tools/profile_step.py [n_rays] [s_pad]
 """
 
+import os
 import sys
 import time
 from pathlib import Path
@@ -41,10 +42,25 @@ def main():
         write_synthetic_dataset(cache, n_train=12, n_test=1, width=96, height=96)
     ds = load_nerf_synthetic(cache / "transforms_train.json")
 
-    config = NGPConfig.from_json({})
-    trainer = Trainer.create(config)
-    state = trainer.init_state(seed=43)
-    loop = TrainingLoop(trainer, ds)
+    # warm resume: reuse the bench's converged snapshot when present so the
+    # profile reflects the steady-state (sparse-grid) regime and skips the
+    # ~10 min converge phase (same cache protocol as bench.py)
+    warm = cache / "warm_snapshot.msgpack"
+    if warm.exists() and not os.environ.get("NGP_PROFILE_FRESH"):
+        from ngp_tpu.testbed import Testbed
+
+        tb = Testbed()
+        tb.load_snapshot(str(warm))
+        tb.load_training_data(cache / "transforms_train.json")
+        trainer, loop = tb._trainer, tb._loop
+        config, state = trainer.config, tb._state
+        loop.i_step = tb.training_buffer.i_step
+        print(f"# resumed warm snapshot at step {loop.i_step}", flush=True)
+    else:
+        config = NGPConfig.from_json({})
+        trainer = Trainer.create(config)
+        state = trainer.init_state(seed=43)
+        loop = TrainingLoop(trainer, ds)
 
     # converge grid + controller
     t0 = time.perf_counter()
