@@ -147,6 +147,31 @@ def mark_untrained_grid(cfg: SamplerConfig, resolution, focal_length, xforms) ->
     return jnp.concatenate(grids)
 
 
+def _pcg4d(v):
+    """Counter-based u32x4 hash (Jarzynski & Olano, "Hash Functions for GPU
+    Rendering", pcg4d). One fused elementwise pass over (N, 4) uint32 —
+    replaces jax.random's threefry for the grid sampler's per-cell draws.
+    Measured effect on v5e is small (~2 ms/update, mb19 — the sampler's cost
+    is its 10-candidate density gathers, not the RNG); kept because the
+    reference's own per-sample RNG is a counter-style LCG/pcg32 mix
+    (common_device.h), and a stateless counter hash needs no key plumbing."""
+    v = v * jnp.uint32(1664525) + jnp.uint32(1013904223)
+    x, y, z, w = v[..., 0], v[..., 1], v[..., 2], v[..., 3]
+    x = x + y * w
+    y = y + z * x
+    z = z + x * y
+    w = w + y * z
+    x = x ^ (x >> 16)
+    y = y ^ (y >> 16)
+    z = z ^ (z >> 16)
+    w = w ^ (w >> 16)
+    x = x + y * w
+    y = y + z * x
+    z = z + x * y
+    w = w + y * z
+    return x, y, z, w
+
+
 def sample_grid_positions(cfg: SamplerConfig, density, key, n_uniform: int, n_nonuniform: int, step):
     """Pick grid cells + a random position inside each; (N,3) world pos, (N,) idx.
 
@@ -158,10 +183,25 @@ def sample_grid_positions(cfg: SamplerConfig, density, key, n_uniform: int, n_no
     """
     g = cfg.grid_size
     n_total = n_uniform + n_nonuniform
-    k_level, k_pos = jax.random.split(key)
 
+    # two u32 salts from the jax key (one tiny threefry draw), then all
+    # per-cell randomness comes from the fused _pcg4d counter hash
+    salts = jax.random.bits(key, (2,), jnp.uint32)
     i = jnp.arange(n_total, dtype=jnp.uint32)
-    levels = jax.random.randint(k_level, (n_total,), 0, cfg.n_cascades, jnp.int32)
+    ctr = jnp.stack(
+        [
+            i,
+            jnp.broadcast_to(salts[0], i.shape),
+            jnp.broadcast_to(salts[1], i.shape),
+            jnp.broadcast_to(jnp.uint32(step), i.shape),
+        ],
+        axis=-1,
+    )
+    h0, h1, h2, h3 = _pcg4d(ctr)
+    inv24 = jnp.float32(1.0 / (1 << 24))
+    u = jnp.stack([(h0 >> 8), (h1 >> 8), (h2 >> 8)], axis=-1).astype(jnp.float32) * inv24
+    levels = (((h3 >> 8).astype(jnp.float32) * inv24) * cfg.n_cascades).astype(jnp.int32)
+    levels = jnp.minimum(levels, cfg.n_cascades - 1)
 
     # candidate cells: the reference's multiplicative stride sequence (cu:87)
     cand0 = ((i + jnp.uint32(step) * jnp.uint32(n_total)) * jnp.uint32(56924617) + jnp.uint32(96925573)) % jnp.uint32(cfg.n_grid_elements)
@@ -196,7 +236,6 @@ def sample_grid_positions(cfg: SamplerConfig, density, key, n_uniform: int, n_no
     y = (local // g) % g
     z = local // (g * g)
     cell = jnp.stack([x, y, z], axis=-1).astype(jnp.float32)
-    u = jax.random.uniform(k_pos, (n_total, 3))
     # exp2(levels) for small int levels via exponent-bit construction
     mip_scale = jax.lax.bitcast_convert_type((127 + idx // cfg.n_grid_elements) << 23, jnp.float32)[:, None]
     pos = ((cell + u) / g - 0.5) * mip_scale + 0.5
