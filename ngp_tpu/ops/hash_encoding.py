@@ -101,6 +101,8 @@ class HashGridSpec:
     variant: str = "xadd"  # "xadd" (pair-packed) | "tcnn" (interchange)
     # one-corner stochastic gradient deposit (oadd only; see config)
     stochastic_bwd: bool = False
+    # deposit into every k-th level per sample, scaled by k (see config)
+    stochastic_level_rate: int = 1
 
     @property
     def n_entries(self) -> int:
@@ -145,6 +147,7 @@ class HashGridSpec:
             offsets=tuple(offsets),
             variant=cfg.hash_variant,
             stochastic_bwd=getattr(cfg, "stochastic_corner_backward", False),
+            stochastic_level_rate=getattr(cfg, "stochastic_level_rate", 1),
         )
 
     def level_constants(self):
@@ -160,12 +163,37 @@ class HashGridSpec:
 def hash_table_init(key, spec: HashGridSpec, scale: float = 1e-4):
     """Uniform(-1e-4, 1e-4) init, tcnn's default for grid params.
 
-    Stacked (L, T_pad, F) fp32; rows past a level's logical size are unused
-    padding (kept at 0 by init and never touched by gradients).
+    Stored in the OPTIMIZER layout (L, F, T_pad) fp32: the minor dim is the
+    large table axis, so the elementwise Adam/EMA passes over the table run
+    at full HBM bandwidth (a (L, T, F=2) minor dim lane-pads on TPU and was
+    measured ~11-14 ms/step slower in the update chain; the gather packs
+    absorb the transpose for free — tools/mb20_opt.py). All encode/backward
+    entry points accept either layout via `as_level_major`. Rows past a
+    level's logical size are unused padding (kept at 0 by init and never
+    touched by gradients).
     """
     return jax.random.uniform(
-        key, (spec.n_levels, spec.padded_size, spec.n_features), jnp.float32, -scale, scale
+        key, (spec.n_levels, spec.n_features, spec.padded_size), jnp.float32, -scale, scale
     )
+
+
+def is_opt_layout(table, spec: HashGridSpec) -> bool:
+    """True when `table` is stored (L, F, T_pad) rather than (L, T_pad, F)."""
+    return (
+        table.ndim == 3
+        and table.shape[1] == spec.n_features
+        and table.shape[2] == spec.padded_size
+        and spec.padded_size != spec.n_features
+    )
+
+
+def as_level_major(table, spec: HashGridSpec):
+    """Normalize a hash table to the internal (L, T_pad, F) orientation.
+
+    The transpose is free in practice: every consumer immediately copies the
+    table into a packed gather view (pair/oct tables), and XLA folds the
+    transpose into that copy (measured, tools/mb20_opt.py)."""
+    return table.transpose(0, 2, 1) if is_opt_layout(table, spec) else table
 
 
 # --------------------------------------------------------------------------
@@ -515,11 +543,18 @@ def _bwd_oadd_stochastic(table, pos, spec: HashGridSpec, g, acc_dtype=jnp.bfloat
     matrix, product, or cumsum is ever materialized (measured ~10 ms/step
     cheaper than the explicit-CDF draw at 2^18 samples x 16 levels).
     """
+    table = as_level_major(table, spec)
     f = spec.n_features
     n = pos.shape[0]
     lc = spec.level_constants()
     g_levels = g.reshape(n, spec.n_levels, f).transpose(1, 0, 2)  # (L, N, F)
     sy_a, sz_a, off_a = _oct_strides(spec)
+    # level-subsampling rate: each sample deposits into levels l with
+    # l % kr == (sample index) % kr, scaled by kr (see HashEncodingConfig.
+    # stochastic_level_rate); rows drop kr-fold via strided slices
+    kr = spec.stochastic_level_rate
+    if kr <= 1 or n % kr != 0:
+        kr = 1
     # position-bit hash, salted per level inside the scan
     pbits = jax.lax.bitcast_convert_type(pos, jnp.uint32)  # (N, 3)
     hbase = (
@@ -528,12 +563,25 @@ def _bwd_oadd_stochastic(table, pos, spec: HashGridSpec, g, acc_dtype=jnp.bfloat
         ^ pbits[:, 2] * jnp.uint32(0xC2B2AE3D)
     )
     lsalt = (jnp.arange(spec.n_levels, dtype=jnp.uint32) + 1) * jnp.uint32(0x27D4EB2F)
+    lidx = jnp.arange(spec.n_levels, dtype=jnp.int32)
+    if kr > 1:
+        pos_r = pos.reshape(n // kr, kr, 3)
+        hbase_r = hbase.reshape(n // kr, kr)
+        g_levels = g_levels.reshape(spec.n_levels, n // kr, kr, f)
 
     def body(_, xs):
-        g_l, scale, res, dense, size, sy, sz, off, salt = xs
-        idx0, w0, _ = _oct_base_w0(pos, scale, res, dense, size, sy, sz)
-        h = hbase ^ salt
-        k = jnp.zeros((n,), jnp.int32)
+        g_l, scale, res, dense, size, sy, sz, off, salt, li = xs
+        if kr > 1:
+            r = li % kr
+            p = jax.lax.dynamic_index_in_dim(pos_r, r, axis=1, keepdims=False)
+            hb = jax.lax.dynamic_index_in_dim(hbase_r, r, axis=1, keepdims=False)
+            g_l = jax.lax.dynamic_index_in_dim(g_l, r, axis=1, keepdims=False) * float(kr)
+        else:
+            p, hb = pos, hbase
+        m = p.shape[0]
+        idx0, w0, _ = _oct_base_w0(p, scale, res, dense, size, sy, sz)
+        h = hb ^ salt
+        k = jnp.zeros((m,), jnp.int32)
         for d in range(3):  # one independent 24-bit uniform per dim
             h = (h ^ (h >> 15)) * jnp.uint32(0x2C1B3C6D)
             u = (h >> 8).astype(jnp.float32) * jnp.float32(2.0**-24)
@@ -550,12 +598,13 @@ def _bwd_oadd_stochastic(table, pos, spec: HashGridSpec, g, acc_dtype=jnp.bfloat
     _, d_table = jax.lax.scan(
         body,
         None,
-        (g_levels, lc["scale"], lc["res"], lc["dense"], lc["size"], sy_a, sz_a, off_a, lsalt),
+        (g_levels, lc["scale"], lc["res"], lc["dense"], lc["size"], sy_a, sz_a, off_a, lsalt, lidx),
     )
     return d_table
 
 
 def _bwd_oadd(table, pos, spec: HashGridSpec, g, need_pos_grad: bool = True, acc_dtype=jnp.bfloat16):
+    table = as_level_major(table, spec)
     f = spec.n_features
     n = pos.shape[0]
     lc = spec.level_constants()
@@ -616,6 +665,7 @@ def pack_inference_tables(table, spec: HashGridSpec):
     was measured at +17 ms per round on v5e (tools/mb11_composite.py). Pack
     once per frame, feed `hash_encode_packed`.
     """
+    table = as_level_major(table, spec)
     if spec.variant == "oadd":
         return _oct_tables(table, spec)
     if spec.variant == "xadd":
@@ -634,6 +684,7 @@ def hash_encode_packed(packed, pos, spec: HashGridSpec):
 
 
 def _hash_encode_impl(table, pos, spec: HashGridSpec):
+    table = as_level_major(table, spec)
     if spec.variant == "oadd":
         return _encode_oadd(table, pos, spec)
     if spec.variant == "xadd":
@@ -653,11 +704,17 @@ def _hash_encode_fwd(table, pos, spec: HashGridSpec):
 
 def _hash_encode_bwd(spec: HashGridSpec, res_, g):
     table, pos = res_
+    opt_layout = is_opt_layout(table, spec)
+    tbl = as_level_major(table, spec)
     if spec.variant == "oadd":
-        return _bwd_oadd(table, pos, spec, g)
-    if spec.variant == "xadd":
-        return _bwd_xadd(table, pos, spec, g)
-    return _bwd_tcnn(table, pos, spec, g)
+        d_table, d_pos = _bwd_oadd(tbl, pos, spec, g)
+    elif spec.variant == "xadd":
+        d_table, d_pos = _bwd_xadd(tbl, pos, spec, g)
+    else:
+        d_table, d_pos = _bwd_tcnn(tbl, pos, spec, g)
+    if opt_layout:
+        d_table = d_table.transpose(0, 2, 1)
+    return d_table, d_pos
 
 
 hash_encode.defvjp(_hash_encode_fwd, _hash_encode_bwd)
@@ -680,14 +737,18 @@ def _hash_encode_cp_fwd(table, pos, spec: HashGridSpec):
 
 def _hash_encode_cp_bwd(spec: HashGridSpec, res_, g):
     table, pos = res_
+    opt_layout = is_opt_layout(table, spec)
+    tbl = as_level_major(table, spec)
     if spec.variant == "oadd" and spec.stochastic_bwd:
-        d_table = _bwd_oadd_stochastic(table, pos, spec, g)
+        d_table = _bwd_oadd_stochastic(tbl, pos, spec, g)
     elif spec.variant == "oadd":
-        d_table, _ = _bwd_oadd(table, pos, spec, g, need_pos_grad=False)
+        d_table, _ = _bwd_oadd(tbl, pos, spec, g, need_pos_grad=False)
     elif spec.variant == "xadd":
-        d_table, _ = _bwd_xadd(table, pos, spec, g, need_pos_grad=False)
+        d_table, _ = _bwd_xadd(tbl, pos, spec, g, need_pos_grad=False)
     else:
-        d_table, _ = _bwd_tcnn(table, pos, spec, g)
+        d_table, _ = _bwd_tcnn(tbl, pos, spec, g)
+    if opt_layout:
+        d_table = d_table.transpose(0, 2, 1)
     return d_table, jnp.zeros_like(pos)
 
 

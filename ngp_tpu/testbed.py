@@ -207,8 +207,17 @@ class Testbed:
         self.scene_scale = snap["scene_scale"]
         self.scene_offset = tuple(snap["scene_offset"])
         st = self._state
-        params = jax.tree_util.tree_map(lambda t, s: jnp.asarray(s, t.dtype), st.params, snap["params"])
-        ema = jax.tree_util.tree_map(lambda t, s: jnp.asarray(s, t.dtype), st.ema_params, snap["ema_params"])
+
+        def adapt(t, s):
+            # legacy snapshots stored the hash table (and its opt/ema
+            # mirrors) as (L, T, F); current storage is (L, F, T)
+            s = np.asarray(s)
+            if s.shape != t.shape and s.ndim == 3 and s.shape == (t.shape[0], t.shape[2], t.shape[1]):
+                s = s.transpose(0, 2, 1)
+            return jnp.asarray(s, t.dtype).reshape(t.shape)
+
+        params = jax.tree_util.tree_map(adapt, st.params, snap["params"])
+        ema = jax.tree_util.tree_map(adapt, st.ema_params, snap["ema_params"])
         grid = st.grid._replace(
             density=jnp.asarray(snap["density_grid"]), step=jnp.int32(snap["grid_step"])
         )
@@ -217,7 +226,7 @@ class Testbed:
         if "opt_state_leaves" in snap:
             treedef = jax.tree_util.tree_structure(st.opt_state)
             leaves = jax.tree_util.tree_leaves(st.opt_state)
-            new_leaves = [jnp.asarray(np.asarray(s), l.dtype).reshape(l.shape) for l, s in zip(leaves, snap["opt_state_leaves"], strict=True)]
+            new_leaves = [adapt(l, s) for l, s in zip(leaves, snap["opt_state_leaves"], strict=True)]
             opt_state = jax.tree_util.tree_unflatten(treedef, new_leaves)
         self._state = st._replace(params=params, ema_params=ema, grid=grid, opt_state=opt_state)
         # The reference restarts i_step at 0 on load (testbed.cu:92) because

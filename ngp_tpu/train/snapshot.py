@@ -141,7 +141,9 @@ def pack_reference_params(params, spec, net_cfg) -> np.ndarray:
         out.append(w.T.reshape(-1))
     out.append(last.T.reshape(-1))
     # pos encoding: levels at their aligned sizes, entry-major, F-fast
-    tbl = np.asarray(params["hash_table"], np.float32)
+    from ngp_tpu.ops.hash_encoding import as_level_major
+
+    tbl = np.asarray(as_level_major(params["hash_table"], spec), np.float32)
     for l in range(spec.n_levels):
         out.append(tbl[l, : spec.sizes[l], :].reshape(-1))
     return np.concatenate(out)
@@ -180,7 +182,8 @@ def unpack_reference_params(flat, spec, net_cfg):
         tbl[l, : spec.sizes[l], :] = take((spec.sizes[l], spec.n_features))
     if pos != flat.size:
         raise ValueError(f"reference param vector has {flat.size} elements, consumed {pos}")
-    return {"hash_table": jnp.asarray(tbl), "density_mlp": density, "rgb_mlp": rgb}
+    # store in the optimizer layout (L, F, T) — see hash_table_init
+    return {"hash_table": jnp.asarray(tbl.transpose(0, 2, 1)), "density_mlp": density, "rgb_mlp": rgb}
 
 
 def save_reference_snapshot(path, config_doc: dict, *, params, spec, net_cfg, density_grid, scene_scale, scene_offset):

@@ -129,6 +129,14 @@ class HashEncodingConfig:
     # deposit semantics (tcnn HashGrid backward, ngp_network.h:162) — the
     # "tcnn"/"xadd" variants always use their exact backwards.
     stochastic_corner_backward: bool = True
+    # With the one-corner draw on, additionally deposit each sample's
+    # gradient into only every k-th LEVEL (levels l with l % k == i % k for
+    # sample index i), scaled by k. Samples are freshly drawn and jittered
+    # every step, so the level subset a physical point feeds is effectively
+    # re-randomized per step: E[deposit] = the dense deposit. Cuts the
+    # backward scatter rows (the dominant bwd cost, ~14 ns/row floor)
+    # k-fold via strided slices. 1 = off (every level, the default).
+    stochastic_level_rate: int = 1
 
     @property
     def scale(self) -> float:

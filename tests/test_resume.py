@@ -113,9 +113,11 @@ def test_reference_snapshot_roundtrip(tmp_path):
     for k in ("density_mlp", "rgb_mlp"):
         for a, b in zip(tb._state.params[k], tb2._state.params[k], strict=True):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=0, rtol=0)
+    from ngp_tpu.ops.hash_encoding import as_level_major
+
     sp = tb._trainer.model.grid_spec
-    t_a = np.asarray(tb._state.params["hash_table"])
-    t_b = np.asarray(tb2._state.params["hash_table"])
+    t_a = np.asarray(as_level_major(tb._state.params["hash_table"], sp))
+    t_b = np.asarray(as_level_major(tb2._state.params["hash_table"], sp))
     for l in range(sp.n_levels):
         np.testing.assert_allclose(t_a[l, : sp.sizes[l]], t_b[l, : sp.sizes[l]], atol=0, rtol=0)
     np.testing.assert_allclose(
@@ -161,10 +163,12 @@ def test_reference_snapshot_half_precision_import(tmp_path):
     with open(p, "wb") as f:
         f.write(msgpack.packb(doc, use_bin_type=True))
 
+    from ngp_tpu.ops.hash_encoding import as_level_major
+
     tb = Testbed()
     tb.load_snapshot(str(p))
-    got = np.asarray(tb._state.params["hash_table"])
-    want = np.asarray(params["hash_table"]).astype(np.float16).astype(np.float32)
     sp = model.grid_spec
+    got = np.asarray(as_level_major(tb._state.params["hash_table"], sp))
+    want = np.asarray(as_level_major(params["hash_table"], sp)).astype(np.float16).astype(np.float32)
     for l in range(sp.n_levels):
         np.testing.assert_allclose(got[l, : sp.sizes[l]], want[l, : sp.sizes[l]], atol=0, rtol=0)

@@ -60,6 +60,55 @@ def test_stochastic_bwd_unbiased():
         assert np.median(rel) < 0.15, f"level {lvl}: median rel err {np.median(rel)}"
 
 
+def test_stochastic_level_rate_unbiased():
+    """Level subsampling (deposit into every k-th level, scaled by k) keeps
+    E[d_table] == exact d_table: the sample subset feeding a level is an
+    i.i.d.-uniform position subset, so per-level totals match exactly for
+    g == 1 and heavy rows concentrate to the exact deposit."""
+    spec = dataclasses.replace(
+        _small_spec(stochastic_corner_backward=True), stochastic_level_rate=4
+    )
+    n = 400_000
+    pos = jax.random.uniform(jax.random.PRNGKey(7), (n, 3))
+    table = hash_table_init(jax.random.PRNGKey(8), spec)
+    g = jnp.ones((n, spec.n_output_dims), jnp.float32)
+
+    exact, _ = _bwd_oadd(table, pos, spec, g, need_pos_grad=False, acc_dtype=jnp.float32)
+    stoch = _bwd_oadd_stochastic(table, pos, spec, g, acc_dtype=jnp.float32)
+
+    e = np.asarray(exact, np.float64)
+    s = np.asarray(stoch, np.float64)
+    # each selected sample deposits k * g into one corner; exactly n/k
+    # samples are selected per level -> totals preserved exactly
+    np.testing.assert_allclose(s.sum(axis=(1, 2)), e.sum(axis=(1, 2)), rtol=2e-3)
+    for lvl in range(spec.n_levels):
+        mass = np.abs(e[lvl]).sum(axis=-1)
+        heavy = mass > np.percentile(mass, 99)
+        if not heavy.any():
+            continue
+        rel = np.abs(s[lvl][heavy] - e[lvl][heavy]) / np.maximum(np.abs(e[lvl][heavy]), 1e-9)
+        assert np.median(rel) < 0.3, f"level {lvl}: median rel err {np.median(rel)}"
+
+
+def test_stochastic_level_rate_routes_and_falls_back():
+    """rate > 1 changes the vjp deposit; a sample count not divisible by the
+    rate falls back to every-level deposits (kr=1) rather than mis-slicing."""
+    spec1 = _small_spec(stochastic_corner_backward=True)
+    spec4 = dataclasses.replace(spec1, stochastic_level_rate=4)
+    table = hash_table_init(jax.random.PRNGKey(1), spec1)
+
+    pos = jax.random.uniform(jax.random.PRNGKey(0), (4096, 3))
+    g1 = jax.grad(lambda t: hash_encode_const_pos(t, pos, spec1).sum())(table)
+    g4 = jax.grad(lambda t: hash_encode_const_pos(t, pos, spec4).sum())(table)
+    assert not np.allclose(np.asarray(g1), np.asarray(g4))
+    np.testing.assert_allclose(np.asarray(g1).sum(), np.asarray(g4).sum(), rtol=1e-2)
+
+    pos_odd = jax.random.uniform(jax.random.PRNGKey(0), (4095, 3))
+    g_odd = jax.grad(lambda t: hash_encode_const_pos(t, pos_odd, spec4).sum())(table)
+    g_ref = jax.grad(lambda t: hash_encode_const_pos(t, pos_odd, spec1).sum())(table)
+    np.testing.assert_allclose(np.asarray(g_odd), np.asarray(g_ref))
+
+
 def test_stochastic_flag_routes_custom_vjp():
     """The const-pos vjp uses the stochastic deposit iff the spec opts in."""
     spec_on = _small_spec(stochastic_corner_backward=True)

@@ -24,6 +24,8 @@ import numpy as np
 OVERRIDES = {
     "baseline": {"network": {"encoding": {"stochastic_corner_backward": False}}},
     "stoch_corner": {"network": {"encoding": {"stochastic_corner_backward": True}}},
+    "level_rate2": {"network": {"encoding": {"stochastic_corner_backward": True, "stochastic_level_rate": 2}}},
+    "level_rate4": {"network": {"encoding": {"stochastic_corner_backward": True, "stochastic_level_rate": 4}}},
     # a partial "optimizer" doc REPLACES the whole stack, so spell out the
     # base.json values with only the zero-grad knob flipped (dense Adam)
     "lazy_adam_off": {
