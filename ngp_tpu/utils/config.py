@@ -135,8 +135,10 @@ class HashEncodingConfig:
     # every step, so the level subset a physical point feeds is effectively
     # re-randomized per step: E[deposit] = the dense deposit. Cuts the
     # backward scatter rows (the dominant bwd cost, ~14 ns/row floor)
-    # k-fold via strided slices. 1 = off (every level, the default).
-    stochastic_level_rate: int = 1
+    # k-fold via strided slices. 1 = off (every level). Default 2 from the
+    # 3-arm 640-step A/B (tools/ab_quality.py, ROADMAP round-3): rate 2 is
+    # 0.95x the step time at +1.06 dB vs every-level; rate 4 loses 0.6 dB.
+    stochastic_level_rate: int = 2
 
     @property
     def scale(self) -> float:

@@ -4,9 +4,11 @@ overrides, PSNR on held-out views + steady-state step timing.
 Used round 2 to validate oadd/xadd/tcnn equal quality; round 3 for the
 stochastic-corner backward. Usage:
 
-  python tools/ab_quality.py [n_steps=640] [res=200]
+  python tools/ab_quality.py [n_steps=640] [res=200] [arm ...]
 
-Compares {} (baseline) against each override in OVERRIDES.
+Compares {} (baseline) against each override in OVERRIDES; optional
+trailing arm names restrict the run to that subset (deltas are reported
+against the first arm run when "baseline" is excluded).
 """
 
 import json
@@ -111,15 +113,17 @@ def main():
         enable_persistent_compile_cache()
     except Exception:
         pass
+    arms = [a for a in sys.argv[3:] if a in OVERRIDES] or list(OVERRIDES)
     results = {}
-    for name, doc in OVERRIDES.items():
-        results[name] = run_one(name, doc, n_steps, res)
-    base = results.get("baseline")
+    for name in arms:
+        results[name] = run_one(name, OVERRIDES[name], n_steps, res)
+    base_name = "baseline" if "baseline" in results else arms[0]
+    base = results[base_name]
     for name, (psnr, steady) in results.items():
-        if name == "baseline" or base is None:
+        if name == base_name:
             continue
         print(
-            f"# {name}: dPSNR {psnr - base[0]:+.2f} dB, step time {steady/base[1]:.2f}x baseline"
+            f"# {name}: dPSNR {psnr - base[0]:+.2f} dB, step time {steady/base[1]:.2f}x {base_name}"
         )
 
 

@@ -74,12 +74,12 @@ def main():
         )
     print(f"# warm total {time.perf_counter()-t0:.1f}s")
 
-    # pin shapes
-    n_rays = loop.n_rays_per_batch
-    s_pad = loop.s_pad
-    cap = loop.capacity
-    n_window = loop.n_window
-    print(f"# pinned: n_rays={n_rays} s_pad={s_pad} cap={cap} n_window={n_window}")
+    # pin the loop's REAL shape tuple (incl. two-bucket + seg-cap choices)
+    n_rays, cap, s_pad, n_window, s_short, n_long, n_seg_cap, _ = loop.peek_shape()
+    print(
+        f"# pinned: n_rays={n_rays} s_pad={s_pad} cap={cap} n_window={n_window} "
+        f"s_short={s_short} n_long={n_long} n_seg_cap={n_seg_cap}"
+    )
 
     scfg = config.sampler
     n_lat = n_lattice_points(scfg)
@@ -91,7 +91,8 @@ def main():
         batch = generate_training_batch(
             scfg, aabb, images, xforms, focal, (0.5, 0.5), occupancy,
             rng, n_rays, jnp.uint32(0), cap, n_lat, s_pad,
-            occ_aabb=occ_box, n_window=n_window,
+            occ_aabb=occ_box, n_window=n_window, s_short=s_short,
+            n_long=n_long, n_seg_cap=n_seg_cap,
         )
         return batch.pos.sum() + batch.n_samples
 
@@ -104,7 +105,7 @@ def main():
     def density_only(params, pos):
         return trainer.model.density_raw(params, pos).sum()
 
-    step_fn = trainer.train_step(n_rays, cap, s_pad, n_window)
+    step_fn = trainer.train_step(n_rays, cap, s_pad, n_window, s_short, n_long, n_seg_cap)
     images, xforms, focal = ds.images, ds.xforms, jnp.asarray(ds.focal_length)
 
     def timeit(name, fn, reps=8):
