@@ -30,8 +30,8 @@ __version__ = "0.1.0"
 
 def __getattr__(name):
     # lazy import so `import ngp_tpu.utils.color` doesn't pull in jax-heavy deps
-    if name == "Testbed":
-        from ngp_tpu.testbed import Testbed
+    if name in ("Testbed", "Activation", "RenderMode", "ColorSpace", "TonemapCurve", "LossType"):
+        import ngp_tpu.testbed as _tb
 
-        return Testbed
+        return getattr(_tb, name)
     raise AttributeError(name)

@@ -27,12 +27,66 @@ from ngp_tpu.utils.camera import focal_length_to_fov, fov_to_focal_length, openg
 from ngp_tpu.utils.config import NGPConfig, load_commented_json
 
 
+class _StrEnum:
+    """pyngp exposes C++ enums (python_api.cu:51-88); our API is string-
+    valued, so each enum member is just its own name — `LossType.Huber`
+    style code ports by swapping the import. Membership is checked with
+    `in` / `values()`."""
+
+    @classmethod
+    def values(cls):
+        return [v for k, v in vars(cls).items() if isinstance(v, str) and not k.startswith("_")]
+
+
+class Activation(_StrEnum):  # python_api.cu:51-56
+    ReLU = "ReLU"
+    Logistic = "Logistic"
+    Exponential = "Exponential"
+
+
+# "None" is a Python keyword; pyngp users write getattr(Activation, "None").
+setattr(Activation, "None", "None")
+
+
+class RenderMode(_StrEnum):  # python_api.cu:58-66
+    AO = "AO"
+    Shade = "Shade"
+    Normals = "Normals"
+    Depth = "Depth"
+    Distance = "Distance"
+    Stepsize = "Stepsize"
+    Cost = "Cost"
+
+
+class ColorSpace(_StrEnum):  # python_api.cu:68-71
+    Linear = "Linear"
+    SRGB = "SRGB"
+
+
+class TonemapCurve(_StrEnum):  # python_api.cu:73-78
+    Identity = "Identity"
+    ACES = "ACES"
+    Hable = "Hable"
+    Reinhard = "Reinhard"
+
+
+class LossType(_StrEnum):  # python_api.cu:80-88
+    L2 = "L2"
+    L1 = "L1"
+    Mape = "Mape"
+    Smape = "Smape"
+    SmoothL1 = "SmoothL1"
+    LogL1 = "LogL1"
+    RelativeL2 = "RelativeL2"
+
+
 @dataclass
 class TrainingBufferView:
     """Read-only training stats (python_api.cu:117-126)."""
 
     i_step: int = 0
     loss: float = float("nan")
+    n_rays_per_batch: int = 0
     measured_batch_size: int = 0
     measured_batch_size_before_compaction: int = 0
     training_prep_ms: float = 0.0
@@ -50,6 +104,14 @@ class RenderingBufferView:
     relative_focal_length: tuple = (1.0, 1.0)
     principal_point: tuple = (0.5, 0.5)
     camera_matrix: np.ndarray = field(default_factory=lambda: np.zeros((3, 4), np.float32))
+    # Alive-ray compaction cadence knobs (testbed.h:202-203). The reference
+    # marches clamp(n_pixels/n_alive, MIN..MAX) steps between compactions;
+    # the TPU renderer replaces that cadence with a fixed-budget depth
+    # cascade + ring-queue compaction (renderer.py), so these are accepted
+    # for API compatibility. Like in the reference, they are pure
+    # performance knobs — output is identical for any legal value.
+    MIN_STEPS_INBETWEEN_COMPACTION: int = 1
+    MAX_STEPS_INBETWEEN_COMPACTION: int = 8
 
 
 class Testbed:
@@ -66,6 +128,8 @@ class Testbed:
         self.background_color = [0.0, 0.0, 0.0, 1.0]  # sRGB (testbed.h:116)
         self.color_space = "Linear"
         self.loss_type = "SmoothL1"
+        self.density_activation = "Exponential"  # testbed.h:114
+        self.rgb_activation = "Logistic"  # testbed.h:115
         self.scene_scale = 1.0
         self.scene_offset = (0.5, 0.5, 0.5)
         self.training_buffer = TrainingBufferView()
@@ -248,12 +312,15 @@ class Testbed:
         self._trainer.loss_type = self.loss_type
         self._trainer.color_space = self.color_space
         self._trainer.background_color = tuple(self.background_color[:3])
+        self._trainer.density_activation = self.density_activation
+        self._trainer.rgb_activation = self.rgb_activation
         self._loop.i_step = self.training_buffer.i_step
         self._state = self._loop.train(self._state, n_training_steps)
         lb = self._loop
         self.training_buffer = TrainingBufferView(
             i_step=lb.i_step,
             loss=lb.loss_scalar,
+            n_rays_per_batch=int(lb.n_rays_per_batch),
             measured_batch_size=int(lb.measured_batch_size),
             measured_batch_size_before_compaction=int(lb.measured_batch_size_before_compaction),
             training_prep_ms=lb.training_prep_ms,
@@ -292,6 +359,8 @@ class Testbed:
         """One spp frame accumulated into the internal buffer (testbed.cu:479)."""
         rb = self.rendering_buffer
         focal = rb.relative_focal_length[rb.fov_axis] * (width if rb.fov_axis == 0 else height)
+        self._renderer.density_activation = self.density_activation
+        self._renderer.rgb_activation = self.rgb_activation
         frame = self._renderer.render_frame(
             self._state.ema_params,
             self._state.grid.occupancy,
@@ -322,6 +391,8 @@ class Testbed:
         if spp > 1 and cs in ("linear", "srgb") and self._renderer.can_batch_spp():
             rb = self.rendering_buffer
             focal = rb.relative_focal_length[rb.fov_axis] * (width if rb.fov_axis == 0 else height)
+            self._renderer.density_activation = self.density_activation
+            self._renderer.rgb_activation = self.rgb_activation
             self._accum = self._renderer.render_frame(
                 self._state.ema_params,
                 self._state.grid.occupancy,
