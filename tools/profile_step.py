@@ -30,7 +30,7 @@ def main():
 
     from ngp_tpu.data.nerf_synthetic import load_nerf_synthetic
     from ngp_tpu.data.synthetic import write_synthetic_dataset
-    from ngp_tpu.models.ngp import apply_density_activation
+    from ngp_tpu.models.ngp import apply_density_activation, apply_rgb_activation
     from ngp_tpu.sampling.lattice import n_lattice_points
     from ngp_tpu.sampling.training import generate_training_batch
     from ngp_tpu.train.trainer import Trainer, TrainingLoop
@@ -185,6 +185,60 @@ def main():
     g_rgb = jax.random.normal(rng, (cap, 3))
     g_sig = jax.random.normal(rng, (cap,))
     timeit("net fwd+bwd (grad to params)", lambda: sync(fwd_grad(state.params, pos, dirs, g_rgb, g_sig)["hash_table"]))
+
+    # REAL loss fwd+bwd on a materialized batch: net + two-bucket composite +
+    # loss, grad to params. (loss_grad − fwd_grad) ≈ composite/loss overhead;
+    # (full_step − batch_gen − loss_grad − optimizer) ≈ RNG/target/stats rest.
+    from ngp_tpu.render.composite import train_loss
+    from ngp_tpu.train.trainer import compute_rgb_target
+    from ngp_tpu.utils.color import srgb_to_linear
+
+    @jax.jit
+    def make_batch(rng, occupancy, occ_box, images, xforms, focal):
+        return generate_training_batch(
+            scfg, aabb, images, xforms, focal, (0.5, 0.5), occupancy,
+            rng, n_rays, jnp.uint32(0), cap, n_lat, s_pad,
+            occ_aabb=occ_box, n_window=n_window, s_short=s_short,
+            n_long=n_long, n_seg_cap=n_seg_cap,
+        )
+
+    real_batch = jax.block_until_ready(
+        make_batch(rng, state.grid.occupancy, state.grid.occ_aabb, images, xforms, focal)
+    )
+    bg_linear = srgb_to_linear(jnp.asarray(trainer.background_color, jnp.float32))
+    rgb_target0, bg_composite0 = compute_rgb_target(
+        real_batch.rgba, bg_linear, trainer.color_space, config.render.train_in_linear_color
+    )
+
+    @jax.jit
+    def loss_grad(params, batch, rgb_target, bg_composite, mean_density):
+        def f(p):
+            rgb_raw, sigma_raw = trainer.model.rgbsigma_raw(p, batch.pos, batch.dirs)
+            extra = ()
+            if batch.layout_long is not None:
+                bg_long = bg_composite[batch.sel_long] if bg_composite.ndim == 2 else bg_composite
+                extra = ((batch.layout_long,
+                          batch.dt_pad_long if batch.dt_pad_long is not None else scfg.min_cone_stepsize,
+                          batch.valid_long, rgb_target[batch.sel_long], bg_long),)
+            loss, aux = train_loss(
+                rgb_raw, sigma_raw, batch.layout,
+                batch.dt_pad if batch.dt_pad is not None else scfg.min_cone_stepsize,
+                batch.valid_short, rgb_target, bg_composite,
+                extra_buckets=extra, n_rays_denom=n_rays,
+                loss_type=config.loss,
+                transmittance_threshold=config.render.transmittance_threshold,
+                rgb_activation=trainer.rgb_activation,
+                density_activation=trainer.density_activation,
+                mean_density=mean_density,
+                min_optical_thickness=scfg.min_optical_thickness,
+                apply_rgb_activation=apply_rgb_activation,
+                apply_density_activation=apply_density_activation,
+            )
+            return loss
+        return jax.grad(f)(params)
+
+    timeit("loss fwd+bwd (real batch)", lambda: sync(
+        loss_grad(state.params, real_batch, rgb_target0, bg_composite0, state.grid.mean_density)["hash_table"]))
 
     from ngp_tpu.train.optimizer import create_optimizer, ema_update
     tx = create_optimizer(config.optimizer)
