@@ -13,9 +13,12 @@ NETWORK=${NGP_NETWORK:-$HERE/../config/base.json}
 
 for scene in chair drums ficus hotdog lego materials mic ship; do
     mkdir -p "$OUT_ROOT/$scene"
+    # --nerf_compatibility + inline eval: exactly train_win.bat:13-21
     python "$HERE/../python/run.py" \
         --scene "$DATA_ROOT/$scene/transforms_train.json" \
         --network "$NETWORK" \
         --save_snapshot "$OUT_ROOT/$scene/${scene}_ckpt.msgpack" \
+        --nerf_compatibility \
+        --test_transforms "$DATA_ROOT/$scene/transforms_test.json" \
         --n_steps "$N_STEPS"
 done

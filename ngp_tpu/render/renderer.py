@@ -413,6 +413,7 @@ class Renderer:
     _pool_cache: dict = field(default_factory=dict)
     _packed_cache: dict = field(default_factory=dict)
     _seg_cache: dict = field(default_factory=dict)
+    _ray_cache: dict = field(default_factory=dict)
 
     def can_batch_spp(self) -> bool:
         """True when render_frame(n_spp > 1) is available: pixel snapping
@@ -426,21 +427,36 @@ class Renderer:
             and jitter_cover_supported(scfg)
         )
 
+    @staticmethod
+    def _id_cache(cache: dict, key_arr, make_fn, arg=None):
+        """Single-entry identity-keyed cache shared by _prepared/_pooled/
+        _packed/_occ_box: recompute when `key_arr` is a new array OBJECT.
+        The dict keeps a strong reference to `key_arr`, so a freed array's
+        address can never alias a stale entry (unlike a bare id() key).
+        `make_fn()` builds the (possibly jitted) compute fn once and it is
+        reused across recomputes; the fn is applied to `arg` when given,
+        else to `key_arr` itself."""
+        if cache.get("arr") is not key_arr:
+            fn = cache.get("fn") or make_fn()
+            cache["arr"] = key_arr
+            cache["fn"] = fn
+            cache["val"] = fn(key_arr if arg is None else arg)
+        return cache["val"]
+
     def _prepared(self, params):
-        """Pack the hash table for inference ONCE per table (identity-keyed,
-        like _occ_box): every tile and every spp pass of a frame then gathers
-        the resident packed view instead of rebuilding it in-graph (measured
-        +17 ms/compositing round when left inside render_tile, mb11)."""
+        """Pack the hash table for inference ONCE per table (identity-keyed
+        on the hash_table leaf): every tile and every spp pass of a frame
+        then gathers the resident packed view instead of rebuilding it
+        in-graph (measured +17 ms/compositing round when left inside
+        render_tile, mb11)."""
         if "hash_packed" in params:
             return params
-        if self._prep_cache.get("arr") is not params["hash_table"]:
-            fn = self._prep_cache.get("fn") or jax.jit(self.model.prepare_inference)
-            self._prep_cache = {
-                "arr": params["hash_table"],
-                "fn": fn,
-                "prepared": fn(params),
-            }
-        return self._prep_cache["prepared"]
+        return self._id_cache(
+            self._prep_cache,
+            params["hash_table"],
+            lambda: jax.jit(self.model.prepare_inference),
+            arg=params,
+        )
 
     def _dp_render_tile(self, has_envmap: bool, has_seg: bool, has_packed: bool, **statics):
         """shard_map'ed render_tile: rays sharded, everything else replicated.
@@ -472,14 +488,13 @@ class Renderer:
 
     def _pooled(self, occupancy):
         """Dilated super-occupancy, cached per grid array (identity-keyed)."""
-        if self._pool_cache.get("arr") is not occupancy:
-            from ngp_tpu.grid.occupancy import pooled_occupancy
+        from ngp_tpu.grid.occupancy import pooled_occupancy
 
-            fn = self._pool_cache.get("fn") or jax.jit(
-                functools.partial(pooled_occupancy, self.config.sampler)
-            )
-            self._pool_cache = {"arr": occupancy, "fn": fn, "pooled": fn(occupancy)}
-        return self._pool_cache["pooled"]
+        return self._id_cache(
+            self._pool_cache,
+            occupancy,
+            lambda: jax.jit(functools.partial(pooled_occupancy, self.config.sampler)),
+        )
 
     def _packed(self, occupancy):
         """Packed 3^3-neighborhood words for the fine march, cached per grid
@@ -488,14 +503,13 @@ class Renderer:
 
         if not packed_march_supported(self.config.sampler):
             return None
-        if self._packed_cache.get("arr") is not occupancy:
-            from ngp_tpu.grid.occupancy import packed_neighborhood
+        from ngp_tpu.grid.occupancy import packed_neighborhood
 
-            fn = self._packed_cache.get("fn") or jax.jit(
-                functools.partial(packed_neighborhood, self.config.sampler)
-            )
-            self._packed_cache = {"arr": occupancy, "fn": fn, "packed": fn(occupancy)}
-        return self._packed_cache["packed"]
+        return self._id_cache(
+            self._packed_cache,
+            occupancy,
+            lambda: jax.jit(functools.partial(packed_neighborhood, self.config.sampler)),
+        )
 
     @staticmethod
     def _camera_rays(cam, w, h, focal_length, principal_point, off):
@@ -521,6 +535,24 @@ class Renderer:
         d /= np.maximum(np.linalg.norm(d, axis=-1, keepdims=True), 1e-12)
         o = np.broadcast_to(cam[:, 3], d.shape).copy()
         return o, d
+
+    def _rays_cached(self, cam, w, h, focal_length, principal_point, off):
+        """Single-entry cache over _camera_rays: with pixel snapping (the
+        default) every spp pass and repeated frame at the same camera/
+        resolution shares one host-side projection instead of redoing the
+        ~H*W meshgrid+matmul+normalize per pass. Results are read-only."""
+        key = (
+            cam.tobytes(),
+            w,
+            h,
+            tuple(focal_length),
+            tuple(principal_point),
+            (float(off[0]), float(off[1])),
+        )
+        if self._ray_cache.get("key") != key:
+            o, d = self._camera_rays(cam, w, h, focal_length, principal_point, off)
+            self._ray_cache = {"key": key, "o": o, "d": d}
+        return self._ray_cache["o"], self._ray_cache["d"]
 
     @staticmethod
     def _slab_range(lo, hi, o, d):
@@ -561,7 +593,7 @@ class Renderer:
         cache = self._seg_cache
         if cache.get("key") == ckey and cache.get("occ") is occupancy:
             return cache
-        o, d = self._camera_rays(cam, w, h, focal_length, principal_point, off)
+        o, d = self._rays_cached(cam, w, h, focal_length, principal_point, off)
         n_rays = o.shape[0]
 
         # inflate the occupied box by the march-jitter drift (< dt) plus one
@@ -619,17 +651,13 @@ class Renderer:
     def _occ_box(self, occupancy, occ_aabb):
         if occ_aabb is not None:
             return np.asarray(occ_aabb)
-        # cache holds a strong reference to the occupancy array and compares
-        # identity against it — unlike a bare id() key, the live reference
-        # means a newly allocated grid can never alias a stale cache entry
-        if self._box_cache.get("arr") is not occupancy:
-            from ngp_tpu.grid.occupancy import occupied_aabb
+        from ngp_tpu.grid.occupancy import occupied_aabb
 
-            self._box_cache = {
-                "arr": occupancy,
-                "box": np.asarray(occupied_aabb(self.config.sampler, occupancy)),
-            }
-        return self._box_cache["box"]
+        return self._id_cache(
+            self._box_cache,
+            occupancy,
+            lambda: (lambda occ: np.asarray(occupied_aabb(self.config.sampler, occ))),
+        )
 
     def render_frame(
         self,
@@ -664,7 +692,7 @@ class Renderer:
             raise ValueError("n_spp > 1 requires can_batch_spp() (pixel snapping + jitter-cover march)")
         off = np.asarray(ld_random_pixel_offset(0 if snap else int(spp)))
         cam = np.asarray(camera_matrix, np.float32)
-        o, d = self._camera_rays(cam, w, h, focal_length, principal_point, off)
+        o, d = self._rays_cached(cam, w, h, focal_length, principal_point, off)
         n_rays = o.shape[0]
 
         if scfg.cone_angle_constant != 0.0:
@@ -727,11 +755,13 @@ class Renderer:
             order = ids_hit[np.argsort(sort_key[ids_hit], kind="stable")]
             tile = min(self.tile_size, _pow2(order.size, 256, self.tile_size))
             # per-tile ray arrays are identical for EVERY spp pass of this
-            # (camera, resolution, grid); cache the device uploads alongside
-            # the frame geometry (same invalidation) so later passes skip
-            # tiles x ~7 host->device transfers each
+            # (camera, resolution, grid) when pixel snapping holds `off`
+            # constant; cache the device uploads alongside the frame geometry
+            # (same invalidation) so later passes skip tiles x ~7
+            # host->device transfers each. With snapping OFF the per-pass
+            # jitter changes d (and the hit set), so tiles are never reused.
             tcache = self._seg_cache.setdefault("tiles", {}) if (
-                self._seg_cache.get("occ") is occupancy
+                snap and self._seg_cache.get("occ") is occupancy
             ) else {}
             for s in range(0, order.size, tile):
                 cached = tcache.get(s)
@@ -772,8 +802,6 @@ class Renderer:
                         "n_window": n_window,
                         "w_eff": w_eff,
                         "seg_t": seg_t,
-                        "sel": sel,
-                        "d_off": (float(off[0]), float(off[1])),
                         "d_t": jnp.asarray(d_t),
                         "rays_const": (
                             jnp.asarray(o_t),
@@ -784,14 +812,6 @@ class Renderer:
                         "sel_pad": jnp.asarray(sel_pad),
                     }
                     tcache[s] = cached
-                if cached["d_off"] != (float(off[0]), float(off[1])):
-                    # directions depend on the per-spp subpixel jitter (snap
-                    # off): rebuild ONLY the d upload; o/k0/ids are jitter-free
-                    sel = cached["sel"]
-                    d_t = np.ones((tile, 3), np.float32)
-                    d_t[: sel.size] = d[sel]
-                    cached["d_t"] = jnp.asarray(d_t)
-                    cached["d_off"] = (float(off[0]), float(off[1]))
                 n_window, w_eff, seg_t = cached["n_window"], cached["w_eff"], cached["seg_t"]
                 # worst case: every round advances min(tile, _BUDGET//_D) rays
                 # by _D samples, so a tile smaller than the per-round ray
