@@ -260,6 +260,30 @@ def main():
             "render_fps": 1.0 / t_frame,
         }
         print(f"# converged-grid render: {res}^2 spp-8 frame {t_frame:.2f}s", file=sys.stderr)
+
+        # interactive preview: one spp-1 pass at reduced resolution — the
+        # regime the reference's live testbed renders in (testbed.cu's
+        # dynamic-res loop drops resolution to hold frame rate)
+        pres = 32 if smoke else 320
+        pfl = float(ds.focal_length[0]) * pres / ds.images.shape[2]
+
+        def frame_preview():
+            return np.asarray(
+                tb._renderer.render_frame(
+                    tb._state.ema_params, grid.occupancy, camera, (pres, pres),
+                    (pfl, pfl), (0.5, 0.5), 0, occ_aabb=grid.occ_aabb,
+                )
+            )
+
+        frame_preview()  # compile + warm
+        t0 = time.perf_counter()
+        n_prev = 4
+        for _ in range(n_prev):
+            frame_preview()
+        t_prev = (time.perf_counter() - t0) / n_prev
+        render_stats["preview_res"] = pres
+        render_stats["preview_spp1_fps"] = 1.0 / t_prev
+        print(f"# preview render: {pres}^2 spp-1 {1.0/t_prev:.1f} fps", file=sys.stderr)
     except Exception as e:  # the headline metric must survive a render failure
         print(f"# converged-grid render benchmark failed: {e}", file=sys.stderr)
 
