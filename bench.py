@@ -46,6 +46,37 @@ def main():
     dev = jax.devices()[0]
     print(f"# device: {dev.platform} {getattr(dev, 'device_kind', '?')}", file=sys.stderr)
 
+    if dev.platform != "cpu":
+        # The remote-tunnel TPU has transient outages where RPCs hang
+        # indefinitely (H2D/D2H block on a futex forever). A hung bench is
+        # the worst outcome for the driver — probe the FULL round trip
+        # (put + compute + readback) in a killable subprocess, retrying up
+        # to ~20 min, and exit loudly instead of wedging.
+        import subprocess
+
+        probe = (
+            "import numpy as np, jax, jax.numpy as jnp;"
+            "x = jax.device_put(np.ones((8,), np.float32));"
+            "print(float(jnp.sum(x * 2)))"
+        )
+        deadline = time.monotonic() + 1200.0
+        while True:
+            try:
+                r = subprocess.run(
+                    [sys.executable, "-c", probe], timeout=120,
+                    capture_output=True, text=True,
+                )
+                if r.returncode == 0 and "16.0" in r.stdout:
+                    break
+                note = (r.stderr or r.stdout).strip().splitlines()[-1:] or ["?"]
+                print(f"# device probe failed: {note[0]}", file=sys.stderr)
+            except subprocess.TimeoutExpired:
+                print("# device probe hung >120s (tunnel outage)", file=sys.stderr)
+            if time.monotonic() > deadline:
+                print("# TPU unreachable for 20 min — aborting bench", file=sys.stderr)
+                sys.exit(3)
+            time.sleep(60)
+
     # NGP_BENCH_SMOKE=1: tiny config + short phases, for exercising the bench
     # control flow (warmup/converge/cache/resume) on CPU. The reported number
     # is then NOT the benchmark — the driver runs without it.
