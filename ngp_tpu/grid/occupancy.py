@@ -172,7 +172,7 @@ def _pcg4d(v):
     return x, y, z, w
 
 
-def sample_grid_positions(cfg: SamplerConfig, density, key, n_uniform: int, n_nonuniform: int, step):
+def sample_grid_positions(cfg: SamplerConfig, density, key, n_uniform: int, n_nonuniform: int, step, uniform_offset=0, nonuniform_offset=None, n_total_global: int | None = None):
     """Pick grid cells + a random position inside each; (N,3) world pos, (N,) idx.
 
     Rebuild of generate_grid_samples_nerf_nonuniform (cu:63-105): each sample
@@ -180,14 +180,28 @@ def sample_grid_positions(cfg: SamplerConfig, density, key, n_uniform: int, n_no
     (LCG-style stride over the level) and keeps the first whose stored density
     exceeds a threshold (-0.01 for the uniform pass — any trained cell — or
     min_optical_thickness for the density-weighted pass).
+
+    `uniform_offset`/`nonuniform_offset`/`n_total_global` let a data-parallel
+    chip draw its slice of a global [uniform; nonuniform] candidate set with
+    the same counter hashes as one chip drawing all of it (partition-invariant
+    grid updates, tests/test_dp_equivalence.py). Defaults reproduce the
+    single-chip indexing exactly.
     """
     g = cfg.grid_size
     n_total = n_uniform + n_nonuniform
+    tot = n_total_global if n_total_global is not None else n_total
+    if nonuniform_offset is None:
+        nonuniform_offset = n_uniform
 
     # two u32 salts from the jax key (one tiny threefry draw), then all
     # per-cell randomness comes from the fused _pcg4d counter hash
     salts = jax.random.bits(key, (2,), jnp.uint32)
-    i = jnp.arange(n_total, dtype=jnp.uint32)
+    i = jnp.concatenate(
+        [
+            jnp.arange(n_uniform, dtype=jnp.uint32) + jnp.uint32(uniform_offset),
+            jnp.arange(n_nonuniform, dtype=jnp.uint32) + jnp.uint32(nonuniform_offset),
+        ]
+    )
     ctr = jnp.stack(
         [
             i,
@@ -204,7 +218,7 @@ def sample_grid_positions(cfg: SamplerConfig, density, key, n_uniform: int, n_no
     levels = jnp.minimum(levels, cfg.n_cascades - 1)
 
     # candidate cells: the reference's multiplicative stride sequence (cu:87)
-    cand0 = ((i + jnp.uint32(step) * jnp.uint32(n_total)) * jnp.uint32(56924617) + jnp.uint32(96925573)) % jnp.uint32(cfg.n_grid_elements)
+    cand0 = ((i + jnp.uint32(step) * jnp.uint32(tot)) * jnp.uint32(56924617) + jnp.uint32(96925573)) % jnp.uint32(cfg.n_grid_elements)
     cand0 = cand0.astype(jnp.int32) + levels * cfg.n_grid_elements  # (N,)
 
     # UNIFORM half: the reference retries up to 10 candidates until one
@@ -217,7 +231,7 @@ def sample_grid_positions(cfg: SamplerConfig, density, key, n_uniform: int, n_no
     if n_nonuniform > 0:
         j = jnp.arange(1, 10, dtype=jnp.uint32)
         i_n = i[n_uniform:]
-        cand_n = ((i_n + jnp.uint32(step) * jnp.uint32(n_total))[:, None] * jnp.uint32(56924617) + j[None, :] * jnp.uint32(19349663) + jnp.uint32(96925573)) % jnp.uint32(cfg.n_grid_elements)
+        cand_n = ((i_n + jnp.uint32(step) * jnp.uint32(tot))[:, None] * jnp.uint32(56924617) + j[None, :] * jnp.uint32(19349663) + jnp.uint32(96925573)) % jnp.uint32(cfg.n_grid_elements)
         cand_n = jnp.concatenate(
             [cand0[n_uniform:, None], cand_n.astype(jnp.int32) + levels[n_uniform:, None] * cfg.n_grid_elements], axis=1
         )  # (Nn, 10)

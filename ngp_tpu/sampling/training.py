@@ -131,7 +131,6 @@ def generate_training_batch(
     `want_seg_stat` computes seg_count_hi even when the premask is off, so
     the controller can decide when to engage it."""
     n_images, h, w = images.shape[0], images.shape[1], images.shape[2]
-    k_pixel, k_jitter = jax.random.split(key)
     denom = stride_denom or n_rays
     n_window = min(n_window or n_lattice, n_lattice)
     s_pad = min(s_pad, n_window)  # counts can never exceed the window
@@ -141,7 +140,29 @@ def generate_training_batch(
     img = (((jnp.uint32(n_rays_shift) + i) * jnp.uint32(n_images)) // jnp.uint32(denom)) % jnp.uint32(n_images)
     img = img.astype(jnp.int32)
 
-    xy = jax.random.uniform(k_pixel, (n_rays, 2))
+    # Partition-invariant per-ray draws: two u32 salts from the (global,
+    # chip-independent) key, then pixel xy and the march-start jitter come
+    # from the counter-based pcg4d hash over the GLOBAL ray index — so an
+    # N-chip data-parallel mesh generating slices of this batch draws the
+    # EXACT same global ray set as one chip (tests/test_dp_equivalence.py).
+    # The reference's per-ray rng is likewise a counter-seeded pcg32
+    # (occupancy_sampler.cu:318-321).
+    from ngp_tpu.grid.occupancy import _pcg4d
+
+    salts = jax.random.bits(key, (2,), jnp.uint32)
+    ctr = jnp.stack(
+        [
+            i,
+            jnp.broadcast_to(salts[0], i.shape),
+            jnp.broadcast_to(salts[1], i.shape),
+            jnp.broadcast_to(jnp.uint32(0x9E3779B9), i.shape),
+        ],
+        axis=-1,
+    )
+    h0, h1, h2, _ = _pcg4d(ctr)
+    inv24 = jnp.float32(1.0 / (1 << 24))
+    xy = jnp.stack([(h0 >> 8), (h1 >> 8)], axis=-1).astype(jnp.float32) * inv24
+    jitter_u = (h2 >> 8).astype(jnp.float32) * inv24
     if cfg.snap_to_pixel_centers_in_training:
         res = jnp.array([w, h], jnp.float32)
         xy = (jnp.clip(jnp.floor(xy * res), 0, res - 1) + 0.5) / res
@@ -164,7 +185,7 @@ def generate_training_batch(
     tmin = jnp.maximum(tmin, cfg.near_distance)
     dt = cfg.min_cone_stepsize
     # march-start jitter by a fraction of the LOCAL step (cu:385)
-    startt = tmin + lattice_dt(cfg, tmin) * jax.random.uniform(k_jitter, (n_rays,))
+    startt = tmin + lattice_dt(cfg, tmin) * jitter_u
     hits = tmin < tmax
 
     if occ_aabb is not None and cfg.cone_angle_constant == 0.0:

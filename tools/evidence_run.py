@@ -24,6 +24,29 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 import numpy as np
 
 
+def _provenance():
+    """Stamp (commit, config_sha, captured_at) so every headline number is
+    reproducible one commit later (VERDICT r3 #7)."""
+    import hashlib
+    import subprocess
+
+    try:
+        commit = subprocess.run(
+            ["git", "-C", str(Path(__file__).resolve().parent.parent), "rev-parse", "--short", "HEAD"],
+            capture_output=True, text=True, timeout=10,
+        ).stdout.strip() or None
+    except Exception:
+        commit = None
+    from ngp_tpu.utils.config import NGPConfig
+
+    cfg_repr = repr(NGPConfig.from_json({}))  # full shipped defaults
+    return {
+        "commit": commit,
+        "config_sha": hashlib.sha256(cfg_repr.encode()).hexdigest()[:16],
+        "captured_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+    }
+
+
 def main():
     n_steps = int(sys.argv[1]) if len(sys.argv) > 1 else 4096
     width = int(sys.argv[2]) if len(sys.argv) > 2 else 800
@@ -142,6 +165,7 @@ def main():
         # so that leg is environment-blocked rather than omitted silently
         "lpips_mean": None,
         "lpips_note": "environment-blocked: no lpips package/VGG weights offline",
+        **_provenance(),
     }
     Path(out_path).write_text(json.dumps(result, indent=1))
     print(json.dumps({k: v for k, v in result.items() if k != "views"}), flush=True)
