@@ -89,6 +89,7 @@ def _render_tile_impl(
     packed=None,  # (G^3,) uint32 packed 3^3 neighborhoods (packed_march_supported)
     n_spp: int = 1,  # passes composited in THIS call (shared march)
     accum_space: str = "linear",  # pass-mean space for n_spp > 1
+    share_evals: bool = True,  # n_spp > 1: one network eval serves all passes
 ):
     """Render one span-tile of rays -> (R, 4) framebuffer contribution
     (premultiplied linear).
@@ -102,6 +103,20 @@ def _render_tile_impl(
     Requires jitter_cover_supported when marching (callers gate); spp is the
     FIRST pass index. The reference re-marches per pass (testbed.cu:479),
     paying its march 8x per frame — here one march serves all passes.
+
+    share_evals (Shade mode, arithmetic lattice): the passes additionally
+    share the NETWORK evaluations — sigma/rgb are evaluated once per
+    occupied lattice cell (at the unjittered lattice points) and each pass's
+    samples at t + u_s*dt come from the in-cell linear interpolation of the
+    two adjacent evals (nearest across occupancy gaps / round boundaries).
+    The ring queue then holds R physical rays, each compositing all n_spp
+    per-pass transmittance chains from one (A, D) eval block — n_spp x fewer
+    network samples per frame, the single dominant cost at the XLA gather
+    floor (ROADMAP.md: 14.2M samples/pass x 130 ns x 8 passes == the whole
+    r3 frame budget). The remaining per-pass work is elementwise (VPU) and
+    rides the same HBM traffic. Quality trade: sub-dt jitter integrates a
+    piecewise-LINEAR reconstruction of the field instead of re-querying the
+    network — A/B'd in tools/ab_spp_share.py + tests/test_spp_share.py.
     """
     scfg = config.sampler
     aabb = AABB.scene(scfg.aabb_scale)
@@ -117,6 +132,7 @@ def _render_tile_impl(
     t0 = jnp.maximum(tmin, 0.05) + 1e-6
     alive0 = aabb.contains(o + d * t0[:, None]) & tile_valid
     seed = ray_id.astype(jnp.uint32) * jnp.uint32(786433)
+    share = share_evals and n_spp > 1 and render_mode == "Shade"
     if n_spp == 1:
         startt_v = t0 + ld_random_val(spp, seed) * dt  # (R,) == (V,)
         startt_march = startt_v
@@ -247,24 +263,104 @@ def _render_tile_impl(
 
         return round_body
 
+    def make_round_shared(A, D):
+        P_ = n_spp
+        ju_all = jit_s.T  # (R, P) per-ray, per-pass march-start jitter
+
+        def round_body(state):
+            # ring queue over R PHYSICAL rays; each slot composites all P_
+            # per-pass transmittance chains from ONE (A, D) eval block
+            rnd, head, tail, queue, cursor, trans, rgb_acc, opac, processed = state
+            n_alive = tail - head
+            idx = (head + jnp.arange(A, dtype=jnp.int32)) % R
+            sel = queue[idx]  # (A,) physical-ray ids
+            slot = jnp.arange(A, dtype=jnp.int32) < n_alive
+
+            cur = cursor[sel]
+            j = jnp.arange(D, dtype=jnp.int32)[None, :]
+            j4 = jnp.arange(D // 4, dtype=jnp.int32)[None, :]
+            flat4 = sel[:, None] * (W // 4) + jnp.minimum(cur[:, None] // 4 + j4, W // 4 - 1)
+            lat = t_idx4[flat4.reshape(-1)].reshape(A, D)
+            valid = slot[:, None] & ((cur[:, None] + j) < counts[sel][:, None]) & (lat < sentinel)
+
+            # ONE network eval per cell, at the UNJITTERED lattice points
+            ts = lattice_t(scfg, t0[sel][:, None], k0[sel][:, None] + lat)
+            dts = lattice_dt(scfg, ts)  # == dt (arithmetic lattice; callers gate)
+            pos = o[sel][:, None, :] + ts[..., None] * d[sel][:, None, :]
+            pos_w = aabb.relative_pos(pos).reshape(-1, 3)
+            dir_w = jnp.broadcast_to(dirs_w[sel][:, None, :], (A, D, 3)).reshape(-1, 3)
+            rgb_raw, sigma_raw = model.rgbsigma_raw(params, pos_w, dir_w)
+            sigma = apply_density_activation(sigma_raw, density_activation).reshape(A, D)
+            rgb = apply_rgb_activation(rgb_raw, rgb_activation).reshape(A, D, 3)
+
+            # in-cell lerp partner: the next eval IF it is the adjacent
+            # lattice cell (march order makes it column j+1); nearest across
+            # occupancy gaps and at the round's last column
+            nxt = jnp.concatenate([lat[:, 1:], jnp.full((A, 1), -2, jnp.int32)], axis=1)
+            adj = nxt == lat + 1
+            sig_next = jnp.where(adj, jnp.concatenate([sigma[:, 1:], sigma[:, -1:]], axis=1), sigma)
+            rgb_next = jnp.where(
+                adj[..., None], jnp.concatenate([rgb[:, 1:], rgb[:, -1:]], axis=1), rgb
+            )
+
+            u = ju_all[sel][:, :, None]  # (A, P, 1) in [0, 1)
+            sig_p = sigma[:, None, :] * (1.0 - u) + sig_next[:, None, :] * u  # (A, P, D)
+            # per-pass scene-box test at the jittered position (t monotone
+            # along the ray, so the box exit test is a t comparison)
+            valid_p = valid[:, None, :] & (ts[:, None, :] + u * dts[:, None, :] <= tmax[sel][:, None, None])
+
+            sdt = jnp.where(valid_p, sig_p * dts[:, None, :], 0.0)
+            alpha = 1.0 - jnp.exp(-sdt)
+            acc_before = jnp.cumsum(sdt, axis=2) - sdt
+            t_before = trans[sel][:, :, None] * jnp.exp(-acc_before)
+            include = valid_p & (t_before >= thresh)
+            wgt = jnp.where(include, alpha * t_before, 0.0)  # (A, P, D)
+
+            rgb_p = rgb[:, None] * (1.0 - u[..., None]) + rgb_next[:, None] * u[..., None]
+            add_rgb = jnp.sum(wgt[..., None] * rgb_p, axis=2)  # (A, P, 3)
+            add_opac = jnp.sum(wgt, axis=2)  # (A, P)
+            new_trans_sel = trans[sel] * jnp.exp(-jnp.sum(jnp.where(include, sdt, 0.0), axis=2))
+
+            guard = jnp.where(slot, sel, R)
+            rgb_acc = rgb_acc.at[guard].add(jnp.where(slot[:, None, None], add_rgb, 0.0), mode="drop")
+            opac = opac.at[guard].add(jnp.where(slot[:, None], add_opac, 0.0), mode="drop")
+            trans = trans.at[guard].set(jnp.where(slot[:, None], new_trans_sel, 1.0), mode="drop")
+            cursor = cursor.at[guard].add(jnp.where(slot, D, 0), mode="drop")
+
+            # a ray stays while ANY pass is above threshold (dead passes
+            # contribute nothing via `include`)
+            survive = slot & jnp.any(new_trans_sel >= thresh, axis=1) & (cur + D < counts[sel])
+            rank = jnp.cumsum(survive.astype(jnp.int32)) - 1
+            push_at = jnp.where(survive, (tail + rank) % R, R)
+            queue = queue.at[push_at].set(sel, mode="drop")
+            n_pop = jnp.minimum(n_alive, A)
+            n_push = jnp.sum(survive, dtype=jnp.int32)
+            return (
+                rnd + 1, head + n_pop, tail + n_push,
+                queue, cursor, trans, rgb_acc, opac, processed,
+            )
+
+        return round_body
+
+    Q = R if share else V  # queue domain: physical vs virtual rays
     alive_init = counts > 0
-    if n_spp > 1:
+    if n_spp > 1 and not share:
         alive_init = jnp.tile(alive_init, n_spp)
-    # one-time queue build (the only V-row scatter of the whole tile)
+    # one-time queue build (the only Q-row scatter of the whole tile)
     order0 = jnp.cumsum(alive_init.astype(jnp.int32)) - 1
-    queue0 = jnp.zeros((V,), jnp.int32).at[jnp.where(alive_init, order0, V)].set(
-        jnp.arange(V, dtype=jnp.int32), mode="drop"
+    queue0 = jnp.zeros((Q,), jnp.int32).at[jnp.where(alive_init, order0, Q)].set(
+        jnp.arange(Q, dtype=jnp.int32), mode="drop"
     )
     state = (
         jnp.int32(0),
         jnp.int32(0),  # queue head (total popped)
         jnp.sum(alive_init, dtype=jnp.int32),  # queue tail (total pushed)
         queue0,
-        jnp.zeros((V,), jnp.int32),  # cursor
-        jnp.ones((V,), jnp.float32),  # transmittance
-        jnp.zeros((V, 3), jnp.float32),
-        jnp.zeros((V,), jnp.float32),  # opacity
-        jnp.zeros((V,), jnp.int32),  # processed (Cost mode)
+        jnp.zeros((Q,), jnp.int32),  # cursor
+        jnp.ones((R, n_spp) if share else (V,), jnp.float32),  # transmittance
+        jnp.zeros((R, n_spp, 3) if share else (V, 3), jnp.float32),
+        jnp.zeros((R, n_spp) if share else (V,), jnp.float32),  # opacity
+        jnp.zeros((Q,), jnp.int32),  # processed (Cost mode)
     )
     # stage list: deduplicated cascade depths capped at the number of lattice
     # ordinals a ray can actually hold (W = C*8 on the segment path)
@@ -274,11 +370,11 @@ def _render_tile_impl(
         if not depths or D_k > depths[-1]:
             depths.append(D_k)
     for si, D_k in enumerate(depths):
-        A_k = max(min(_BUDGET // D_k, V), 1)
+        A_k = max(min(_BUDGET // D_k, Q), 1)
         # hand off to the next (deeper) stage once its ray slots can hold
         # every alive ray; the final stage drains the tile
         next_cap = (
-            None if si == len(depths) - 1 else max(min(_BUDGET // depths[si + 1], V), 1)
+            None if si == len(depths) - 1 else max(min(_BUDGET // depths[si + 1], Q), 1)
         )
 
         def stage_cond(state, next_cap=next_cap):
@@ -287,8 +383,14 @@ def _render_tile_impl(
             more = (n_alive > 0) if next_cap is None else (n_alive > next_cap)
             return (rnd < n_rounds_max) & more
 
-        state = jax.lax.while_loop(stage_cond, make_round(A_k, D_k), state)
+        body = make_round_shared(A_k, D_k) if share else make_round(A_k, D_k)
+        state = jax.lax.while_loop(stage_cond, body, state)
     _, _, _, _, _, trans, rgb_acc, opac, processed = state
+    if share:
+        # rejoin the virtual-ray layout (vr = s * R + r) for the shared tail
+        rgb_acc = rgb_acc.transpose(1, 0, 2).reshape(V, 3)
+        opac = opac.transpose(1, 0).reshape(V)
+        processed = jnp.tile(processed, n_spp)
 
     # shade_kernel (testbed.cu:448-477)
     hit = opac > 0.001
@@ -337,6 +439,7 @@ render_tile = functools.partial(
         "density_activation",
         "n_spp",
         "accum_space",
+        "share_evals",
     ),
 )(_render_tile_impl)
 
@@ -373,8 +476,17 @@ def _pow2(n: int, lo: int, hi: int) -> int:
 
 
 # segment-capacity buckets: C is a static shape, so quantize it to keep the
-# jit cache small across frames/tiles
-_C_BUCKETS = (4, 8, 16, 24, 32, 48, 64, 96, 128, 192, 256)
+# jit cache small across frames/tiles. COARSE on purpose: every distinct C
+# is a separate ~30 s executable compile the first time any view needs it,
+# and protocol evals walk many cameras (EVIDENCE_r3: view 0 cost 2-3x the
+# warm frame on exactly this churn). The padding slots a coarser rung adds
+# cost only march gathers (1 packed word per 8-step segment), never network
+# samples — the budgeted composite loop processes occupied samples only.
+_C_BUCKETS = (8, 24, 64, 128, 256)
+
+# frame-level coarse-segment-count buckets (same churn logic: n_seg is a
+# static shape of _coarse_pass and the seg_sorted width)
+_NSEG_BUCKETS = (16, 32, 64, 96, 144, 256)
 
 
 def _c_bucket(n: int, n_seg: int) -> int:
@@ -407,6 +519,10 @@ class Renderer:
     rgb_activation: str = "Logistic"
     density_activation: str = "Exponential"
     mesh: object = None  # jax.sharding.Mesh -> data-parallel tiles
+    # n_spp > 1 Shade frames share network evals across passes (in-cell lerp
+    # per pass) — n_spp x fewer network samples; False re-evaluates the
+    # network at every pass's exact jittered positions (the A/B reference)
+    share_spp_evals: bool = True
     _box_cache: dict = field(default_factory=dict)
     _dp_cache: dict = field(default_factory=dict)
     _prep_cache: dict = field(default_factory=dict)
@@ -619,21 +735,36 @@ class Renderer:
         n_seg = 0
         if segments_supported(scfg) and ids_hit.size > 0:
             n_seg = max(-(-int(span[ids_hit].max()) // 8), 1)
-            n_seg = max(-(-n_seg // 16) * 16, 16)  # jit-cache bucket
+            for b in _NSEG_BUCKETS:  # jit-cache bucket
+                if n_seg <= b:
+                    n_seg = b
+                    break
+            else:  # larger aabb_scale configs: multiple-of-64 rungs
+                n_seg = -(-n_seg // 64) * 64
+            # PAD the hit set to a power-of-two bucket: the raw hit count is
+            # camera-dependent, so an exact-shape _coarse_pass would compile
+            # a fresh executable for EVERY camera (~5-7 s — the entire cost
+            # of a moving-camera preview frame, and a per-view tax on
+            # protocol evals). Padding rows repeat the first hit ray and
+            # their results are simply never read back.
+            nh = ids_hit.size
+            P_h = _pow2(nh, 256, 1 << 22)
+            pad_ids = np.full((P_h,), ids_hit[0], np.int64)
+            pad_ids[:nh] = ids_hit
             t00 = np.maximum(s_lo, 0.05) + 1e-6
             cc, seg_sorted = _coarse_pass(
                 self.config,
                 self._pooled(occupancy),
-                jnp.asarray(o[ids_hit]),
-                jnp.asarray(d[ids_hit]),
-                jnp.asarray(t00[ids_hit].astype(np.float32)),
-                jnp.asarray(k0[ids_hit]),
+                jnp.asarray(o[pad_ids]),
+                jnp.asarray(d[pad_ids]),
+                jnp.asarray(t00[pad_ids].astype(np.float32)),
+                jnp.asarray(k0[pad_ids]),
                 n_seg,
             )
             ccounts = np.zeros((n_rays,), np.int32)
-            ccounts[ids_hit] = np.asarray(cc)
+            ccounts[ids_hit] = np.asarray(cc)[:nh]
             inv = np.zeros((n_rays,), np.int32)
-            inv[ids_hit] = np.arange(ids_hit.size, dtype=np.int32)
+            inv[ids_hit] = np.arange(nh, dtype=np.int32)
             hit = hit & (ccounts > 0)
         self._seg_cache = {
             "key": ckey,
@@ -816,9 +947,12 @@ class Renderer:
                 # worst case: every round advances min(tile, _BUDGET//_D) rays
                 # by _D samples, so a tile smaller than the per-round ray
                 # budget still needs ~w_eff/_D rounds for non-terminating
-                # rays (the loop exits early once nothing is alive)
+                # rays (the loop exits early once nothing is alive).
+                # shared-eval passes ride ONE queue entry per physical ray.
+                share = self.share_spp_evals and n_spp > 1 and render_mode == "Shade"
+                spp_mult = 1 if share else n_spp
                 rounds_max = (
-                    int(np.ceil(n_spp * tile * w_eff / _BUDGET))
+                    int(np.ceil(spp_mult * tile * w_eff / _BUDGET))
                     + int(np.ceil(w_eff / _D)) + 4
                 )
                 n_dev = self.mesh.devices.size if self.mesh is not None else 1
@@ -830,6 +964,7 @@ class Renderer:
                     density_activation=self.density_activation,
                     n_spp=n_spp,
                     accum_space=accum_space,
+                    share_evals=self.share_spp_evals,
                 )
                 o_dev, k_dev, id_dev, v_dev = cached["rays_const"]
                 array_args = (

@@ -101,7 +101,9 @@ def test_multispp_equals_sequential_dense_grid(small):
     scfg = config.sampler
     g = scfg.grid_size
     occ = jnp.ones((scfg.n_cascades, g, g, g), bool)
-    renderer = Renderer(model=model, config=config)
+    # exact per-pass evals: the shared-eval default interpolates between
+    # lattice evals (tests/test_spp_share.py covers its tolerance contract)
+    renderer = Renderer(model=model, config=config, share_spp_evals=False)
     assert renderer.can_batch_spp()
     cam = _cam()
     res = (32, 32)

@@ -63,6 +63,11 @@ def main():
         "n_scenes_ok": len(ok),
         "lpips_note": "environment-blocked: no lpips package/VGG weights offline",
     }
+    # provenance (VERDICT r3 #7): same stamp as the other evidence artifacts
+    sys.path.insert(0, str(Path(__file__).resolve().parent))
+    from evidence_run import _provenance
+
+    result.update(_provenance())
     out_json.write_text(json.dumps(result, indent=1))
     print(json.dumps({k: v for k, v in result.items() if k != "scenes"}))
     for name, s in scenes.items():

@@ -1,0 +1,58 @@
+#!/usr/bin/env bash
+# 8-scene batch protocol with per-scene resume: each scene trains to
+# N_STEPS through the unmodified CLI (run.py), snapshots at scene end, and
+# is marked done so a watchdog restart skips straight to the first
+# unfinished scene (a mid-scene crash costs at most that scene's budget).
+# TPU-outage aware: waits for the device to answer before each scene.
+# Usage: tools/run_8scenes_resumable.sh [data_root] [out_root] [n_steps]
+set -uo pipefail
+DATA_ROOT=${1:-/root/repo/.evidence/scenes8}
+OUT_ROOT=${2:-/root/repo/.evidence/out8k}
+N_STEPS=${3:-8000}
+HERE=$(cd "$(dirname "$0")" && pwd)
+cd "$HERE/.."
+NETWORK=experiment/nerf_synthetic/config/base.json
+
+for scene in chair drums ficus hotdog lego materials mic ship; do
+  test -f "$DATA_ROOT/$scene/transforms_train.json" || {
+    echo "missing dataset: $DATA_ROOT/$scene" >&2; exit 1; }
+done
+
+for scene in chair drums ficus hotdog lego materials mic ship; do
+  out="$OUT_ROOT/$scene"
+  ck="$out/${scene}_ckpt.msgpack"
+  marker="$out/.done_${N_STEPS}"
+  if [ -f "$marker" ]; then
+    echo "== $scene: done (marker $marker)"
+    continue
+  fi
+  mkdir -p "$out"
+  for attempt in 1 2 3 4 5; do
+    if ! timeout 90 python -c "import jax; jax.devices()" >/dev/null 2>&1; then
+      echo "== $scene: TPU unreachable (attempt $attempt); sleeping 180s"
+      sleep 180
+      continue
+    fi
+    echo "== $scene: training to $N_STEPS steps (attempt $attempt)"
+    args=(--scene "$DATA_ROOT/$scene/transforms_train.json"
+          --save_snapshot "$ck"
+          --nerf_compatibility
+          --test_transforms "$DATA_ROOT/$scene/transforms_test.json"
+          --n_steps "$N_STEPS")
+    if [ -f "$ck" ]; then
+      args+=(--load_snapshot "$ck")   # resume from the last scene snapshot
+    else
+      args+=(--network "$NETWORK")
+    fi
+    t0=$(date +%s)
+    if timeout 14400 python experiment/nerf_synthetic/python/run.py "${args[@]}"; then
+      echo "$(( $(date +%s) - t0 ))" > "$out/wall_s.txt"
+      touch "$marker"
+      break
+    fi
+    echo "== $scene: run exited nonzero; retrying"
+    sleep 60
+  done
+done
+
+python tools/collect_8scenes.py "$OUT_ROOT" EVIDENCE_8SCENES.json
