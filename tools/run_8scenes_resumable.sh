@@ -55,4 +55,7 @@ for scene in chair drums ficus hotdog lego materials mic ship; do
   done
 done
 
-python tools/collect_8scenes.py "$OUT_ROOT" EVIDENCE_8SCENES.json
+# separate artifact: the r3 EVIDENCE_8SCENES.json (2k steps, 800^2) stays
+# as-is; this sweep's budget/resolution differ and partial rounds must not
+# overwrite a complete table
+python tools/collect_8scenes.py "$OUT_ROOT" EVIDENCE_8SCENES_8K.json
