@@ -222,6 +222,7 @@ class Testbed:
                 density_grid=st.grid.density,
                 scene_scale=self.scene_scale,
                 scene_offset=self.scene_offset,
+                sampler_cfg=self.config.sampler,
             )
             return
         _save_snapshot(
@@ -254,7 +255,7 @@ class Testbed:
             self._config_doc = doc
             self._init_from_doc(doc)
             params, grid_density, scale, offset = load_reference_snapshot_dict(
-                probe, self._trainer.model.grid_spec, self.config.network
+                probe, self._trainer.model.grid_spec, self.config.network, self.config.sampler
             )
             self.scene_scale = scale
             self.scene_offset = tuple(offset)

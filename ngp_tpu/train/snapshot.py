@@ -186,8 +186,14 @@ def unpack_reference_params(flat, spec, net_cfg):
     return {"hash_table": jnp.asarray(tbl.transpose(0, 2, 1)), "density_mlp": density, "rgb_mlp": rgb}
 
 
-def save_reference_snapshot(path, config_doc: dict, *, params, spec, net_cfg, density_grid, scene_scale, scene_offset):
-    """Write a tcnn-layout snapshot (testbed.cu:127-141 schema)."""
+def save_reference_snapshot(
+    path, config_doc: dict, *, params, spec, net_cfg, density_grid, scene_scale, scene_offset, sampler_cfg
+):
+    """Write a tcnn-layout snapshot (testbed.cu:127-141 schema).
+
+    The density grid is reordered linear->Morton per cascade: the reference
+    indexes its grid by tcnn::morton3D (occupancy_sampler.cu:33-35, 97-99)
+    and serializes it verbatim (testbed.cu:132-136)."""
     variant = getattr(spec, "variant", "tcnn")
     if variant != "tcnn":
         # table contents are a function of the hash: exporting an oadd/xadd
@@ -196,13 +202,16 @@ def save_reference_snapshot(path, config_doc: dict, *, params, spec, net_cfg, de
             f"reference-snapshot export requires hash variant 'tcnn', got {variant!r}; "
             "train with encoding otype variant 'tcnn' to produce interchangeable checkpoints"
         )
+    from ngp_tpu.utils.morton import density_grid_to_reference
+
     flat = pack_reference_params(params, spec, net_cfg)
+    grid_morton = density_grid_to_reference(density_grid, sampler_cfg.grid_size, sampler_cfg.n_cascades)
     doc = dict(config_doc)
     doc["snapshot"] = {
         "n_params": int(flat.size),
         "params_type": "float",
         "params_binary": flat.tobytes(),
-        "density_grid": [float(v) for v in np.asarray(density_grid, np.float32)],
+        "density_grid": [float(v) for v in grid_morton],
         "scene_scale": float(scene_scale),
         "scene_offset": [float(v) for v in scene_offset],
     }
@@ -210,10 +219,14 @@ def save_reference_snapshot(path, config_doc: dict, *, params, spec, net_cfg, de
         f.write(msgpack.packb(doc, use_bin_type=True))
 
 
-def load_reference_snapshot_dict(doc, spec, net_cfg):
+def load_reference_snapshot_dict(doc, spec, net_cfg, sampler_cfg):
     """Reference-style snapshot dict -> (params, density_grid, scale, offset).
 
-    Accepts params_type "float" or "__half"."""
+    Accepts params_type "float" or "__half". The density grid arrives in the
+    reference's Morton order (occupancy_sampler.cu:33-35) and is reordered to
+    our linear x-fastest layout."""
+    from ngp_tpu.utils.morton import density_grid_from_reference
+
     snap = doc["snapshot"]
     ptype = snap.get("params_type", "__half")
     raw = snap["params_binary"]
@@ -226,7 +239,9 @@ def load_reference_snapshot_dict(doc, spec, net_cfg):
     if "n_params" in snap and int(snap["n_params"]) != flat.size:
         raise ValueError(f"n_params {snap['n_params']} != binary size {flat.size}")
     params = unpack_reference_params(flat, spec, net_cfg)
-    grid = jnp.asarray(np.asarray(snap["density_grid"], np.float32))
+    grid = jnp.asarray(
+        density_grid_from_reference(snap["density_grid"], sampler_cfg.grid_size, sampler_cfg.n_cascades)
+    )
     return params, grid, float(snap.get("scene_scale", 0.33)), list(snap.get("scene_offset", [0.5, 0.5, 0.5]))
 
 
