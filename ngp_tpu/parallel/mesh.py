@@ -275,6 +275,14 @@ def make_dp_grid_update(trainer: Trainer, mesh: Mesh, n_uniform: int, n_nonunifo
     model = trainer.model
     aabb = trainer.aabb
     n_dev = mesh.devices.size
+    if n_uniform % n_dev or n_nonuniform % n_dev:
+        # a floored split would shrink/misalign the union of per-chip
+        # candidate sets vs the 1-chip set, silently breaking the documented
+        # bit-for-bit grid-update partition invariance (mirror of the
+        # n_rays_global check in _make_dp_step_fn)
+        raise ValueError(
+            f"n_uniform ({n_uniform}) and n_nonuniform ({n_nonuniform}) must be divisible by mesh size {n_dev}"
+        )
     nu, nn = n_uniform // n_dev, n_nonuniform // n_dev
     rep = P()
 

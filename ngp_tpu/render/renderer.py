@@ -295,7 +295,13 @@ def _render_tile_impl(
 
             # in-cell lerp partner: the next eval IF it is the adjacent
             # lattice cell (march order makes it column j+1); nearest across
-            # occupancy gaps and at the round's last column
+            # occupancy gaps and at the round's last column. NOTE: the
+            # last-column fallback makes the image depend (weakly) on the
+            # round depth D, an internal tile-budget detail — its true
+            # neighbor's sigma belongs to the NEXT round's eval block, and
+            # carrying it would cost a (D+1)-th network column per round.
+            # Measured: the whole lerp approximation (incl. this boundary)
+            # is +0.0004 dB vs exact per-pass evals (tools/ab_spp_share.py).
             nxt = jnp.concatenate([lat[:, 1:], jnp.full((A, 1), -2, jnp.int32)], axis=1)
             adj = nxt == lat + 1
             sig_next = jnp.where(adj, jnp.concatenate([sigma[:, 1:], sigma[:, -1:]], axis=1), sigma)
@@ -748,7 +754,10 @@ class Renderer:
             # protocol evals). Padding rows repeat the first hit ray and
             # their results are simply never read back.
             nh = ids_hit.size
-            P_h = _pow2(nh, 256, 1 << 22)
+            # bucket cap 1<<22 keeps compile churn bounded; frames with more
+            # box-hit rays (4K/8K renders) fall back to the exact next-pow2
+            # size rather than overflowing the pad
+            P_h = max(_pow2(nh, 256, 1 << 22), nh)
             pad_ids = np.full((P_h,), ids_hit[0], np.int64)
             pad_ids[:nh] = ids_hit
             t00 = np.maximum(s_lo, 0.05) + 1e-6

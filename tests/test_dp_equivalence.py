@@ -144,3 +144,16 @@ def test_dp_loss_trajectory_matches_single_chip(setup):
     p8 = jax.tree.leaves(s8.params)
     for a, b in zip(p1, p8):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=5e-4, rtol=5e-4)
+
+
+def test_dp_grid_update_rejects_indivisible_counts(setup):
+    """A floored per-chip split would shrink the union of candidate sets and
+    silently break partition invariance — it must raise instead."""
+    from ngp_tpu.parallel.mesh import make_dp_grid_update, make_mesh
+
+    _, _, trainer, _ = setup
+    mesh = make_mesh()  # 8 virtual CPU devices (conftest)
+    with pytest.raises(ValueError, match="divisible"):
+        make_dp_grid_update(trainer, mesh, n_uniform=1001, n_nonuniform=0)
+    with pytest.raises(ValueError, match="divisible"):
+        make_dp_grid_update(trainer, mesh, n_uniform=1024, n_nonuniform=12)
