@@ -115,18 +115,29 @@ class NGPModel:
         -> assemble_rgbd (h:68): output = [rgb_net(concat(density_out, SH)),
         density_out[0]].
 
-        `remat_heads` runs the MLP heads under jax.checkpoint: inside the
-        fused multi-step train scan, saving the (N, 64) hidden activations
-        for every inner step's backward dominated step memory on TPU, and
-        recomputing them costs negligible MXU time. Per-step-dispatch
-        callers pass False — one step's activations are ~130 MB, and
-        skipping the recompute removes a full heads forward from the
-        backward pass. Inference (packed params) never remats.
+        A fused Pallas MLP kernel (ops/fused_mlp.py — the FullyFusedMLP
+        analogue: activations stay in VMEM, backward recomputes in-kernel)
+        exists and is numerically validated, but it is OPT-IN
+        (NGP_FUSED_MLP=1): on the axon-tunneled v5e every pallas_call pays a
+        measured ~7 ms fixed dispatch tax (+30-85 us/grid-step), which
+        negates the ~10-15 ms the fusion saves at our shapes (ROADMAP r5
+        notes). On a direct-attached TPU the kernel is the right default.
+        The shipped path is XLA matmuls, with `remat_heads` running them
+        under jax.checkpoint to keep the fused multi-step train scan's
+        memory bounded (one step's (N, 64) activations are ~130 MB).
         """
+        import os
+
+        from ngp_tpu.ops.fused_mlp import fused_rgbsigma, supports
+
         enc = self._encode_pos(params, pos)
         sh = sh_encode(warped_dir, self.config.sh_degree)
         dcfg = self.config.density_mlp
         rcfg = self.config.rgb_mlp
+
+        if supports(dcfg, rcfg) and os.environ.get("NGP_FUSED_MLP"):
+            rgb_raw, density_out = fused_rgbsigma(params["density_mlp"], params["rgb_mlp"], enc, sh)
+            return rgb_raw, density_out[..., 0]
 
         def heads(mlp_params, enc, sh):
             density_out = mlp_apply(mlp_params["density_mlp"], enc, dcfg.activation, dcfg.output_activation)
