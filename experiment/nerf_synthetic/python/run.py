@@ -30,6 +30,8 @@ def parse_args():
     parser.add_argument("--nerf_compatibility", action="store_true", help="Use original-NeRF conventions (sRGB color space, blend in sRGB).")
     parser.add_argument("--test_transforms", default="", help="Evaluate on this transforms json (renders each frame, reports PSNR/SSIM/LPIPS).")
     parser.add_argument("--n_steps", type=int, default=-1, help="Train for this many steps (default: 50000 unless resuming).")
+    parser.add_argument("--stall_timeout", type=float, default=0.0, help="Abort (exit 86) if no train/eval progress for this many seconds — a wrapping harness can then restart and resume from the last snapshot. 0 disables.")
+    parser.add_argument("--snapshot_interval", type=int, default=0, help="Additionally save the snapshot (with optimizer state) every N steps during training, bounding how much work a crash/stall restart can lose. 0 disables.")
     return parser.parse_args()
 
 
@@ -56,6 +58,29 @@ def main():
     if n_steps < 0 and not args.load_snapshot:
         n_steps = 100000
 
+    # stall watchdog: one tunnel RPC hanging forever must not eat a batch
+    # window (the r4 drums run hung at step 6816 for hours). A daemon thread
+    # tracks the last progress timestamp (train() return or eval frame) and
+    # hard-exits 86 when it goes stale; wrapping harnesses (e.g.
+    # tools/run_8scenes_resumable.sh) restart and resume from the last
+    # snapshot, which carries i_step + optimizer + controller state.
+    progress = {"t": time.time(), "step": -1, "stop": False}
+    if args.stall_timeout > 0:
+        import threading
+
+        def _watch():
+            while not progress["stop"]:
+                time.sleep(15)
+                if not progress["stop"] and time.time() - progress["t"] > args.stall_timeout:
+                    print(
+                        f"STALL: no progress for {args.stall_timeout:.0f}s "
+                        f"(last step {progress['step']}); exiting 86 for resume",
+                        flush=True,
+                    )
+                    os._exit(86)
+
+        threading.Thread(target=_watch, daemon=True).start()
+
     if n_steps > 0:
         assert args.load_snapshot or args.save_snapshot
         output_dir = os.path.dirname(args.load_snapshot if args.load_snapshot else args.save_snapshot) or "."
@@ -67,12 +92,25 @@ def main():
             bar = tqdm(desc="Training", total=n_steps, unit="step")
         except ImportError:
             bar = None
+        snap_at = testbed.training_buffer.i_step + args.snapshot_interval
         while testbed.training_buffer.i_step < n_steps:
             testbed.train(16, 2**18)
+            progress["t"], progress["step"] = time.time(), testbed.training_buffer.i_step
             if bar:
                 bar.update(testbed.training_buffer.i_step - old_step)
                 bar.set_postfix(loss=testbed.training_buffer.loss)
             old_step = testbed.training_buffer.i_step
+            if (
+                args.snapshot_interval > 0
+                and args.save_snapshot
+                and old_step >= snap_at
+                and old_step < n_steps
+            ):
+                # mid-run snapshot WITH optimizer state: a stall restart
+                # resumes within snapshot_interval steps at full fidelity
+                testbed.save_snapshot(args.save_snapshot, True)
+                snap_at += args.snapshot_interval
+                progress["t"] = time.time()
         if bar:
             bar.close()
         elapsed_t = time.perf_counter() - start_t
@@ -122,6 +160,7 @@ def main():
             start_t = time.perf_counter()
             image = testbed.render(ref_image.shape[1], ref_image.shape[0], spp, False)
             elapsed_t = time.perf_counter() - start_t
+            progress["t"], progress["step"] = time.time(), f"eval:{i}"
 
             testbed.rendering_buffer.render_mode = "Depth"
             depth = testbed.render(ref_image.shape[1], ref_image.shape[0], spp, False)
@@ -169,6 +208,7 @@ def main():
             f"PSNR={np.mean(psnrs):.3f} SSIM={np.mean(ssims):.3f} "
             f"LPIPS(VGG)={lpips_mean:.3f} FPS={1.0/np.mean(times):.2f}"
         )
+    progress["stop"] = True
 
 
 if __name__ == "__main__":

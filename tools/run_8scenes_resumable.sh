@@ -27,7 +27,7 @@ for scene in chair drums ficus hotdog lego materials mic ship; do
     continue
   fi
   mkdir -p "$out"
-  for attempt in 1 2 3 4 5; do
+  for attempt in 1 2 3 4 5 6 7 8; do
     if ! timeout 90 python -c "import jax; jax.devices()" >/dev/null 2>&1; then
       echo "== $scene: TPU unreachable (attempt $attempt); sleeping 180s"
       sleep 180
@@ -38,14 +38,16 @@ for scene in chair drums ficus hotdog lego materials mic ship; do
           --save_snapshot "$ck"
           --nerf_compatibility
           --test_transforms "$DATA_ROOT/$scene/transforms_test.json"
-          --n_steps "$N_STEPS")
+          --n_steps "$N_STEPS"
+          --stall_timeout 600
+          --snapshot_interval 2000)
     if [ -f "$ck" ]; then
       args+=(--load_snapshot "$ck")   # resume from the last scene snapshot
     else
       args+=(--network "$NETWORK")
     fi
     t0=$(date +%s)
-    if timeout 14400 python experiment/nerf_synthetic/python/run.py "${args[@]}"; then
+    if timeout 7200 python experiment/nerf_synthetic/python/run.py "${args[@]}"; then
       echo "$(( $(date +%s) - t0 ))" > "$out/wall_s.txt"
       touch "$marker"
       break
