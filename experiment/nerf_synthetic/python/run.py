@@ -139,6 +139,26 @@ def main():
         testbed.rendering_buffer.fov_axis = 0
         testbed.fov = test_transforms["camera_angle_x"]
 
+        # warm-up render at the protocol shape: compiles/deserializes the
+        # frame executables ONCE before any timed view, so per-view times
+        # (and the FPS summary) measure rendering, not XLA compilation —
+        # the reference pays no such transient (its kernels are resident,
+        # testbed.cu:479-606). The warm-up uses the first test camera and
+        # its result is discarded; its cost is printed for transparency.
+        if test_transforms["frames"]:
+            f0 = test_transforms["frames"][0]
+            p0 = f0["file_path"] + (".png" if not f0["file_path"].endswith(".png") else "")
+            ref0 = read_image(os.path.join(data_dir, p0))
+            testbed.set_nerf_camera_matrix(np.asarray(f0["transform_matrix"], np.float32)[:-1, :])
+            t0 = time.perf_counter()
+            testbed.render(ref0.shape[1], ref0.shape[0], spp, False)
+            progress["t"] = time.time()
+            testbed.rendering_buffer.render_mode = "Depth"
+            testbed.render(ref0.shape[1], ref0.shape[0], spp, False)
+            testbed.rendering_buffer.render_mode = "Shade"
+            progress["t"] = time.time()
+            print(f"  (render warm-up: {time.perf_counter() - t0:.2f}s — compile/cache-load, excluded from stats)")
+
         rows = []
         for i, frame in enumerate(test_transforms["frames"]):
             p = frame["file_path"] + (".png" if not frame["file_path"].endswith(".png") else "")

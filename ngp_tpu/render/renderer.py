@@ -477,6 +477,81 @@ def _coarse_pass(config, pooled, o, d, t0, k0, n_seg):
     return jnp.sum(cmask, axis=1, dtype=jnp.int32), jax.lax.sort(keys, dimension=1)
 
 
+@functools.partial(jax.jit, static_argnames=("w", "h", "aabb_scale", "dt", "n_lat", "grid_size"))
+def _rays_slab_pass(cam, focal, pp, off, box, *, w, h, aabb_scale, dt, n_lat, grid_size):
+    """Fused per-camera geometry: pixel-grid rays + slab classification in
+    ONE device dispatch (the r4 host path redid this as ~H*W numpy meshgrid/
+    matmul/normalize + two slab tests per camera — 0.94 s/camera dominated
+    the moving-camera preview; ROADMAP frame decomposition).
+
+    Same math as `Renderer._camera_rays` + `_slab_range` + the k0/span/hit
+    derivation, element for element (the conservative-cover slack arguments
+    rely on the projection matching the compositing pass's rays).
+
+    Returns device (o (N,3), d (N,3), k0 i32 (N,), t00 (N,)) plus a single
+    packed (3, N) f32 [hit, k0, span] for ONE host readback."""
+    n = w * h
+    xs = (jnp.arange(w, dtype=jnp.float32) + off[0]) / w
+    ys = (jnp.arange(h, dtype=jnp.float32) + off[1]) / h
+    gx, gy = jnp.meshgrid(xs, ys, indexing="xy")
+    xy = jnp.stack([gx.reshape(-1), gy.reshape(-1)], axis=-1)
+    dcam = jnp.stack(
+        [
+            (xy[:, 0] - pp[0]) * w / focal[0],
+            (xy[:, 1] - pp[1]) * h / focal[1],
+            jnp.ones((n,), jnp.float32),
+        ],
+        axis=-1,
+    )
+    d = dcam @ cam[:, :3].T
+    d = d / jnp.maximum(jnp.linalg.norm(d, axis=-1, keepdims=True), 1e-12)
+    o = jnp.broadcast_to(cam[:, 3], d.shape)
+
+    dd = jnp.where(jnp.abs(d) < 1e-12, 1e-12, d)
+
+    def slab(lo, hi):
+        t1 = (lo - o) / dd
+        t2 = (hi - o) / dd
+        return jnp.max(jnp.minimum(t1, t2), axis=-1), jnp.min(jnp.maximum(t1, t2), axis=-1)
+
+    margin = dt + 1.0 / grid_size
+    occ_lo, occ_hi = slab(box[0] - margin, box[1] + margin)
+    sb = AABB.scene(aabb_scale)
+    s_lo = jnp.maximum(slab(jnp.asarray(sb.lo), jnp.asarray(sb.hi))[0], 0.05)
+    k0f = jnp.clip(jnp.floor((occ_lo - s_lo) / dt) - 2.0, 0.0, float(n_lat))
+    span = jnp.clip(jnp.ceil((occ_hi - jnp.maximum(occ_lo, s_lo)) / dt) + 4.0, 0.0, n_lat - k0f)
+    hit = (occ_hi >= jnp.maximum(occ_lo, s_lo)) & (span > 0)
+    t00 = jnp.maximum(s_lo, 0.05) + 1e-6
+    pack = jnp.stack([hit.astype(jnp.float32), k0f, span])
+    return o, d, k0f.astype(jnp.int32), t00, pack
+
+
+@functools.partial(jax.jit, static_argnames=("config", "n_seg"))
+def _coarse_pass_from_device(config, pooled, o_all, d_all, t00_all, k0_all, pad_ids, n_seg):
+    """_coarse_pass gathering its padded hit-ray inputs from the resident
+    device arrays of _rays_slab_pass — replaces four ~P_h-row host->device
+    uploads per camera with one small (P_h,) index upload."""
+    o = o_all[pad_ids]
+    d = d_all[pad_ids]
+    t0 = t00_all[pad_ids]
+    k0 = k0_all[pad_ids]
+    cmask = coarse_segment_mask(config.sampler, pooled, o, d, t0, n_seg, k0)
+    j = jnp.arange(n_seg, dtype=jnp.int32)[None, :]
+    keys = jnp.where(cmask, j, jnp.int32(n_seg))
+    return jnp.sum(cmask, axis=1, dtype=jnp.int32), jax.lax.sort(keys, dimension=1)
+
+
+@jax.jit
+def _tile_gather(o_all, d_all, k0_all, sel_pad, valid):
+    """Device-side tile assembly: gather a tile's (o, d, k0) rows from the
+    frame's resident ray arrays (pad rows get march-neutral defaults)."""
+    idx = jnp.minimum(sel_pad, o_all.shape[0] - 1)
+    o_t = jnp.where(valid[:, None], o_all[idx], 0.0)
+    d_t = jnp.where(valid[:, None], d_all[idx], 1.0)
+    k_t = jnp.where(valid, k0_all[idx], 0)
+    return o_t, d_t, k_t
+
+
 def _pow2(n: int, lo: int, hi: int) -> int:
     return int(min(hi, max(lo, 1 << int(np.ceil(np.log2(max(n, 1)))))))
 
@@ -715,26 +790,29 @@ class Renderer:
         cache = self._seg_cache
         if cache.get("key") == ckey and cache.get("occ") is occupancy:
             return cache
-        o, d = self._rays_cached(cam, w, h, focal_length, principal_point, off)
-        n_rays = o.shape[0]
+        n_rays = w * h
 
-        # inflate the occupied box by the march-jitter drift (< dt) plus one
-        # finest-mip cell of margin so boundary samples stay classified `hit`
-        margin = dt + 1.0 / scfg.grid_size
-        ibox = np.stack([box[0] - margin, box[1] + margin])
-
-        occ_lo, occ_hi = self._slab_range(ibox[0], ibox[1], o, d)
-        sb = AABB.scene(scfg.aabb_scale)
-        s_lo = np.maximum(self._slab_range(np.asarray(sb.lo), np.asarray(sb.hi), o, d)[0], 0.05)
-        # near-axis-parallel rays produce huge nudged slab ts; clip the
-        # floats into [0, n_lat] BEFORE the int cast so degenerate rays
-        # (filtered by `hit` below) can't overflow int32
-        with np.errstate(invalid="ignore"):
-            k0 = np.clip(np.floor((occ_lo - s_lo) / dt) - 2, 0, n_lat).astype(np.int32)
-            span = np.clip(
-                np.ceil((occ_hi - np.maximum(occ_lo, s_lo)) / dt) + 4, 0, n_lat - k0
-            )
-        hit = (occ_hi >= np.maximum(occ_lo, s_lo)) & (span > 0)
+        # dispatch 1: fused rays + slab classification on device (the r4
+        # host-numpy path cost ~0.94 s/camera); ONE packed readback carries
+        # hit/k0/span to the host for tiling decisions, while o/d/k0/t00
+        # stay resident for the coarse pass and the per-tile gathers.
+        o_dev, d_dev, k0_dev, t00_dev, pack = _rays_slab_pass(
+            jnp.asarray(cam),
+            jnp.asarray(np.asarray(focal_length, np.float32)),
+            jnp.asarray(np.asarray(principal_point, np.float32)),
+            jnp.asarray(np.asarray(off, np.float32)),
+            jnp.asarray(box.astype(np.float32)),
+            w=w,
+            h=h,
+            aabb_scale=scfg.aabb_scale,
+            dt=dt,
+            n_lat=n_lat,
+            grid_size=scfg.grid_size,
+        )
+        pack = np.asarray(pack)
+        hit = pack[0] > 0.5
+        k0 = pack[1].astype(np.int32)
+        span = pack[2]
         ids_hit = np.nonzero(hit)[0]
 
         ccounts = seg_sorted = inv = None
@@ -758,16 +836,18 @@ class Renderer:
             # box-hit rays (4K/8K renders) fall back to the exact next-pow2
             # size rather than overflowing the pad
             P_h = max(_pow2(nh, 256, 1 << 22), nh)
-            pad_ids = np.full((P_h,), ids_hit[0], np.int64)
+            pad_ids = np.full((P_h,), ids_hit[0], np.int32)
             pad_ids[:nh] = ids_hit
-            t00 = np.maximum(s_lo, 0.05) + 1e-6
-            cc, seg_sorted = _coarse_pass(
+            # dispatch 2: coarse premask over the padded hit set, inputs
+            # gathered from the resident ray arrays (no bulk re-uploads)
+            cc, seg_sorted = _coarse_pass_from_device(
                 self.config,
                 self._pooled(occupancy),
-                jnp.asarray(o[pad_ids]),
-                jnp.asarray(d[pad_ids]),
-                jnp.asarray(t00[pad_ids].astype(np.float32)),
-                jnp.asarray(k0[pad_ids]),
+                o_dev,
+                d_dev,
+                t00_dev,
+                k0_dev,
+                jnp.asarray(pad_ids),
                 n_seg,
             )
             ccounts = np.zeros((n_rays,), np.int32)
@@ -785,6 +865,9 @@ class Renderer:
             "seg_sorted": seg_sorted,
             "inv": inv,
             "n_seg": n_seg,
+            "o_dev": o_dev,
+            "d_dev": d_dev,
+            "k0_dev": k0_dev,
         }
         return self._seg_cache
 
@@ -832,13 +915,14 @@ class Renderer:
             raise ValueError("n_spp > 1 requires can_batch_spp() (pixel snapping + jitter-cover march)")
         off = np.asarray(ld_random_pixel_offset(0 if snap else int(spp)))
         cam = np.asarray(camera_matrix, np.float32)
-        o, d = self._rays_cached(cam, w, h, focal_length, principal_point, off)
-        n_rays = o.shape[0]
+        n_rays = w * h
+        o = d = o_dev = d_dev = k0_dev = None
 
         if scfg.cone_angle_constant != 0.0:
             # the window-start inversion assumes the arithmetic lattice; the
             # cone lattice is geometric (and much shorter), so march all of
             # it — culling only rays that miss the occupied box entirely
+            o, d = self._rays_cached(cam, w, h, focal_length, principal_point, off)
             box = self._occ_box(occupancy, occ_aabb)
             t_enter, t_exit = self._slab_range(box[0], box[1], o, d)
             hit = t_exit >= np.maximum(t_enter, 0.05)
@@ -857,6 +941,7 @@ class Renderer:
             hit, k0, span = geo["hit"], geo["k0"], geo["span"]
             ccounts, seg_sorted = geo["ccounts"], geo["seg_sorted"]
             inv, n_seg_frame = geo["inv"], geo["n_seg"]
+            o_dev, d_dev, k0_dev = geo["o_dev"], geo["d_dev"], geo["k0_dev"]
         use_seg = seg_sorted is not None
 
         # the frame assembles ON DEVICE: each tile's result scatters into the
@@ -888,7 +973,8 @@ class Renderer:
                 return jnp.where(hit_mask[:, None], 0.0, env)
 
             fn = self._dp_cache.setdefault(("_env_fill", to_srgb_fill), jax.jit(_env_fill))
-            out = fn(envmap, jnp.asarray(d), jnp.asarray(hit))
+            d_all = d_dev if d_dev is not None else jnp.asarray(d)
+            out = fn(envmap, d_all, jnp.asarray(hit))
 
         if ids_hit.size:
             sort_key = ccounts if use_seg else span
@@ -926,30 +1012,40 @@ class Renderer:
                         n_window = n_legacy
                         seg_t = None
                         w_eff = n_window
-                    o_t = np.zeros((tile, 3), np.float32)
-                    d_t = np.ones((tile, 3), np.float32)
-                    k_t = np.zeros((tile,), np.int32)
                     id_t = np.zeros((tile,), np.int32)
                     v_t = np.zeros((tile,), bool)
-                    o_t[: sel.size] = o[sel]
-                    d_t[: sel.size] = d[sel]
-                    k_t[: sel.size] = k0[sel]
                     id_t[: sel.size] = sel
                     v_t[: sel.size] = True
                     sel_pad = np.full((tile,), n_rays, np.int32)  # pads drop
                     sel_pad[: sel.size] = sel
+                    sel_pad_dev = jnp.asarray(sel_pad)
+                    v_dev = jnp.asarray(v_t)
+                    if o_dev is not None:
+                        # gather the tile's rays from the frame's resident
+                        # device arrays (no per-tile host assembly/upload)
+                        o_t_dev, d_t_dev, k_t_dev = _tile_gather(
+                            o_dev, d_dev, k0_dev, sel_pad_dev, v_dev
+                        )
+                    else:  # cone-lattice path: host rays
+                        o_t = np.zeros((tile, 3), np.float32)
+                        d_t = np.ones((tile, 3), np.float32)
+                        k_t = np.zeros((tile,), np.int32)
+                        o_t[: sel.size] = o[sel]
+                        d_t[: sel.size] = d[sel]
+                        k_t[: sel.size] = k0[sel]
+                        o_t_dev, d_t_dev, k_t_dev = jnp.asarray(o_t), jnp.asarray(d_t), jnp.asarray(k_t)
                     cached = {
                         "n_window": n_window,
                         "w_eff": w_eff,
                         "seg_t": seg_t,
-                        "d_t": jnp.asarray(d_t),
+                        "d_t": d_t_dev,
                         "rays_const": (
-                            jnp.asarray(o_t),
-                            jnp.asarray(k_t),
+                            o_t_dev,
+                            k_t_dev,
                             jnp.asarray(id_t),
-                            jnp.asarray(v_t),
+                            v_dev,
                         ),
-                        "sel_pad": jnp.asarray(sel_pad),
+                        "sel_pad": sel_pad_dev,
                     }
                     tcache[s] = cached
                 n_window, w_eff, seg_t = cached["n_window"], cached["w_eff"], cached["seg_t"]
