@@ -380,6 +380,18 @@ class Testbed:
         self._accum = accumulate(self._accum, frame, self._spp, self.color_space)
         self._spp += 1
 
+    def prewarm_render(self, width: int, height: int, spp: int = 8):
+        """Compile (or deserialize from the persistent cache) the frame
+        executables for this (width, height, spp) ahead of the first real
+        view by rendering one throwaway frame at the current camera.
+
+        The reference renders view 0 through already-resident kernels
+        (testbed.cu:479-606); under XLA the first frame at a new shape pays
+        compile/deserialize instead (measured 28-90 s at 800^2 spp-8,
+        EVIDENCE_r4) — call this after load_snapshot, before timing renders.
+        """
+        self.render(width, height, spp, to_srgb=False)
+
     def render(self, width: int, height: int, spp: int = 8, to_srgb: bool = True):
         """python_api.cu:22-46: spp frames -> accumulate -> tonemap -> numpy.
 
