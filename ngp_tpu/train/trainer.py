@@ -474,6 +474,12 @@ class TrainingLoop:
         # fresh-grid probe at the next call (also re-probed on >25% drift)
         self._per_ray_est = None
         self._probe_next = False
+        # fused-scan chunk length under the stochastic backward: the full
+        # 16-step scan exceeds HBM at compile there (21.2 GB vs 15.75,
+        # r4 note), but shorter scans fit — chunking keeps most of the
+        # dispatch amortization (16 -> n/chunk dispatches). Demoted to 1
+        # (per-step) automatically if a chunk's compile still OOMs.
+        self.stochastic_fuse_steps = 8
 
     # --------------------------------------------------- shape choice
     def _choose_shape(self, n_training_steps: int, commit: bool):
@@ -666,24 +672,42 @@ class TrainingLoop:
         (_, _, _, _, s_short, n_long, n_seg_cap, _) = shape
         # the stochastic-corner backward rebalances XLA's schedule such that
         # the 16-step fused scan exceeds HBM at compile (measured 21.2 GB vs
-        # the 15.75 GB chip); per-step dispatch costs nothing measurable
-        # (303.9 vs 305.2 ms/step same-config, tools/ab_quality.py notes)
-        use_fused = shape == self._last_shape and not self.trainer.model.grid_spec.stochastic_bwd
+        # the 15.75 GB chip); shorter scans fit, so the shipped default runs
+        # the scan in `stochastic_fuse_steps`-long chunks (16 dispatches ->
+        # n/chunk) and demotes itself to per-step if a chunk still OOMs.
+        fuse = n_training_steps
+        if self.trainer.model.grid_spec.stochastic_bwd:
+            fuse = min(n_training_steps, max(int(self.stochastic_fuse_steps), 0))
+        use_fused = shape == self._last_shape and fuse > 1 and n_training_steps % max(fuse, 1) == 0
         self._last_shape = shape
         if use_fused:
-            # stable shapes -> ONE dispatch for all n steps (lax.scan; the
+            # stable shapes -> ONE dispatch per `fuse` steps (lax.scan; the
             # reference's 16-step inner loop never touches the host,
             # testbed.cu:255-263). Gated on the same shape twice in a row so
             # transient controller shapes don't pay the scan compile.
-            call = self.trainer.train_call(
-                self.n_rays_per_batch, self.capacity, self.s_pad, n_training_steps, self.n_window, s_short, n_long, n_seg_cap
-            )
-            shift = self.n_rays_total
-            self.n_rays_total += self.n_rays_per_batch * n_training_steps
-            state, stats = call(state, ds.images, ds.xforms, jnp.asarray(ds.focal_length), jnp.uint32(shift))
-            self.i_step += n_training_steps
-            stats = jax.device_get(stats)  # single D->H sync (testbed.cu:266-289)
-        else:
+            try:
+                call = self.trainer.train_call(
+                    self.n_rays_per_batch, self.capacity, self.s_pad, fuse, self.n_window, s_short, n_long, n_seg_cap
+                )
+                chunk_stats = []
+                for _ in range(n_training_steps // fuse):
+                    shift = self.n_rays_total
+                    state, stats = call(state, ds.images, ds.xforms, jnp.asarray(ds.focal_length), jnp.uint32(shift))
+                    # advance counters only after the call succeeds (a compile
+                    # OOM on the first chunk must leave the loop untouched)
+                    self.n_rays_total += self.n_rays_per_batch * fuse
+                    chunk_stats.append(stats)
+                    self.i_step += fuse
+                stats = jax.device_get(chunk_stats)  # single sync per call batch
+                stats = jax.tree_util.tree_map(lambda *xs: np.concatenate([np.atleast_1d(x) for x in xs]), *stats)
+            except Exception as e:  # noqa: BLE001 — filtered to OOM below
+                if "RESOURCE_EXHAUSTED" not in str(e) and "Ran out of memory" not in str(e):
+                    raise
+                # scan compile exceeded HBM on this config: demote to
+                # per-step dispatch for the rest of the run
+                self.stochastic_fuse_steps = 1
+                use_fused = False
+        if not use_fused:
             step_fn = self.trainer.train_step(self.n_rays_per_batch, self.capacity, self.s_pad, self.n_window, s_short, n_long, n_seg_cap)
             all_stats = []
             for _ in range(n_training_steps):
