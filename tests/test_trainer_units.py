@@ -98,3 +98,56 @@ def test_pick_n_rays_hysteresis():
     assert pick(12.0, 1 << 18, current=10240) == 24576
     # non-ladder current (e.g. restored from an old snapshot) is ignored
     assert pick(24.0, 1 << 18, current=10000) == 12288
+
+
+def test_stochastic_fused_scan_chunks_and_oom_demotion(tmp_path):
+    """Shipped defaults (stochastic bwd) run the fused scan in
+    stochastic_fuse_steps chunks; a compile OOM demotes to per-step
+    dispatch without corrupting loop counters."""
+    import numpy as np
+
+    from ngp_tpu.data.synthetic import write_synthetic_dataset
+    from ngp_tpu.testbed import Testbed
+
+    cfg = {
+        "samlper": {"aabb_scale": 1, "grid_size": 16, "maximum_marching_steps": 128},
+        "network": {
+            "encoding": {
+                "n_levels": 4,
+                "log2_hashmap_size": 12,
+                "base_resolution": 8,
+                "desired_resolution": 64,
+                "stochastic_corner_backward": True,
+            },
+            "network": {"n_neurons": 64, "n_hidden_layers": 1},
+            "dir_encoding": {"degree": 4},
+            "rgb_network": {"n_neurons": 64, "n_hidden_layers": 2},
+        },
+    }
+    train_json, _ = write_synthetic_dataset(tmp_path, n_train=3, n_test=1, width=32, height=32)
+    tb = Testbed()
+    tb.load_model_config_dict(cfg)
+    tb._trainer.sample_capacity = 1 << 13
+    tb.load_training_data(train_json)
+    loop = tb._loop
+    loop.stochastic_fuse_steps = 4
+    assert tb._trainer.model.grid_spec.stochastic_bwd
+    for _ in range(3):  # settle shapes; third call takes the chunked path
+        tb.train(8, 1 << 12)
+    assert tb.training_buffer.i_step == 24
+    assert np.isfinite(tb.training_buffer.loss)
+
+    # OOM demotion: a train_call whose first execution OOMs must fall back
+    # to per-step dispatch, leave counters consistent, and stick at 1
+    def boom(*a, **k):
+        def call(*aa, **kk):
+            raise RuntimeError("RESOURCE_EXHAUSTED: Ran out of memory in memory space hbm")
+
+        return call
+
+    orig_steps = tb.training_buffer.i_step
+    tb._trainer.train_call = boom
+    tb.train(8, 1 << 12)
+    assert loop.stochastic_fuse_steps == 1
+    assert tb.training_buffer.i_step == orig_steps + 8
+    assert np.isfinite(tb.training_buffer.loss)
