@@ -37,6 +37,34 @@ def parse_args():
 
 def main():
     args = parse_args()
+
+    # stall watchdog — armed BEFORE any jax/tunnel-touching work: the hang
+    # modes this exists for include client initialization itself (an r5
+    # ficus attempt sat 15 min in backend init with the watchdog originally
+    # armed only after data loading). One tunnel RPC hanging forever must
+    # not eat a batch window (the r4 drums run hung at step 6816 for
+    # hours). A daemon thread tracks the last progress timestamp (train()
+    # return, eval frame, or load milestones) and hard-exits 86 when it
+    # goes stale; wrapping harnesses (tools/run_8scenes_resumable.sh)
+    # restart and resume from the last snapshot, which carries i_step +
+    # optimizer + controller state.
+    progress = {"t": time.time(), "step": -1, "stop": False}
+    if args.stall_timeout > 0:
+        import threading
+
+        def _watch():
+            while not progress["stop"]:
+                time.sleep(15)
+                if not progress["stop"] and time.time() - progress["t"] > args.stall_timeout:
+                    print(
+                        f"STALL: no progress for {args.stall_timeout:.0f}s "
+                        f"(last step {progress['step']}); exiting 86 for resume",
+                        flush=True,
+                    )
+                    os._exit(86)
+
+        threading.Thread(target=_watch, daemon=True).start()
+
     testbed = ngp.Testbed()
 
     if args.load_snapshot:
@@ -57,29 +85,6 @@ def main():
     n_steps = args.n_steps
     if n_steps < 0 and not args.load_snapshot:
         n_steps = 100000
-
-    # stall watchdog: one tunnel RPC hanging forever must not eat a batch
-    # window (the r4 drums run hung at step 6816 for hours). A daemon thread
-    # tracks the last progress timestamp (train() return or eval frame) and
-    # hard-exits 86 when it goes stale; wrapping harnesses (e.g.
-    # tools/run_8scenes_resumable.sh) restart and resume from the last
-    # snapshot, which carries i_step + optimizer + controller state.
-    progress = {"t": time.time(), "step": -1, "stop": False}
-    if args.stall_timeout > 0:
-        import threading
-
-        def _watch():
-            while not progress["stop"]:
-                time.sleep(15)
-                if not progress["stop"] and time.time() - progress["t"] > args.stall_timeout:
-                    print(
-                        f"STALL: no progress for {args.stall_timeout:.0f}s "
-                        f"(last step {progress['step']}); exiting 86 for resume",
-                        flush=True,
-                    )
-                    os._exit(86)
-
-        threading.Thread(target=_watch, daemon=True).start()
 
     if n_steps > 0:
         assert args.load_snapshot or args.save_snapshot
