@@ -28,7 +28,13 @@ for scene in chair drums ficus hotdog lego materials mic ship; do
   fi
   mkdir -p "$out"
   for attempt in 1 2 3 4 5 6 7 8; do
-    if ! timeout 90 python -c "import jax; jax.devices()" >/dev/null 2>&1; then
+    # full put+compute+readback probe: bare jax.devices() can answer from
+    # tunnel metadata while real RPCs hang (observed r5: ficus attempts
+    # hung in init right after a passing devices() probe)
+    if ! timeout 90 python -c "
+import numpy as np, jax, jax.numpy as jnp
+x = jax.device_put(np.ones((8,), np.float32))
+assert float(jnp.sum(x * 2)) == 16.0" >/dev/null 2>&1; then
       echo "== $scene: TPU unreachable (attempt $attempt); sleeping 180s"
       sleep 180
       continue
