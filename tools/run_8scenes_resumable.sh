@@ -30,15 +30,15 @@ for scene in chair drums ficus hotdog lego materials mic ship; do
   for attempt in 1 2 3 4 5 6 7 8; do
     # full put+compute+readback probe: bare jax.devices() can answer from
     # tunnel metadata while real RPCs hang (observed r5: ficus attempts
-    # hung in init right after a passing devices() probe)
-    if ! timeout 90 python -c "
+    # hung in init right after a passing devices() probe). An outage WAITS
+    # here without consuming attempts — scenes resume when the tunnel does.
+    until timeout 90 python -c "
 import numpy as np, jax, jax.numpy as jnp
 x = jax.device_put(np.ones((8,), np.float32))
-assert float(jnp.sum(x * 2)) == 16.0" >/dev/null 2>&1; then
-      echo "== $scene: TPU unreachable (attempt $attempt); sleeping 180s"
-      sleep 180
-      continue
-    fi
+assert float(jnp.sum(x * 2)) == 16.0" >/dev/null 2>&1; do
+      echo "== $scene: TPU unreachable ($(date -u +%H:%M:%SZ)); waiting 120s"
+      sleep 120
+    done
     echo "== $scene: training to $N_STEPS steps (attempt $attempt)"
     args=(--scene "$DATA_ROOT/$scene/transforms_train.json"
           --save_snapshot "$ck"
