@@ -110,12 +110,11 @@ def main():
     params = r._prepared(tb._state.ema_params)
     packed = r._packed(grid.occupancy)
     order = ids_hit[np.argsort(ccounts[ids_hit], kind="stable")]
-    tile = min(r.tile_size, R._pow2(order.size, 256, r.tile_size))
+    tile = min(r.tile_size, R._pow2(order.size, 256, r.tile_size), order.size)
     sel = order[-tile:]  # worst tile
     c_t = R._c_bucket(int(ccounts[sel].max()), geo["n_seg"])
     rows = geo["inv"][sel]
     seg_t = jnp.take(geo["seg_sorted"], jnp.asarray(rows), axis=0)[:, :c_t]
-    o_t = jnp.asarray(np.ascontiguousarray(np.repeat(np.float32(0.5), tile * 3).reshape(tile, 3)))
     # real rays for the worst tile
     o_np, d_np = r._rays_cached(cam, res, res, (fl, fl), (0.5, 0.5), np.array([0.5, 0.5]))
     arr = lambda x: jnp.asarray(x)
